@@ -1,0 +1,219 @@
+"""FSST-style symbol-table string compression (from the public paper:
+Boncz, Neumann, Leis — "FSST: Fast Random Access String Compression",
+VLDB 2020). No reference implementation exists in /root/reference
+(SURVEY.md §2.8) — this is an independent, self-consistent design.
+
+Format (our own container; decode-side self-parity pinned by tests):
+    header:  u8 n_symbols (0..255)
+             n_symbols * u8 symbol byte-lengths (1..8)
+             concatenated symbol bytes
+    body:    code stream; byte 0..254 = symbol code, byte 255 = escape,
+             followed by one literal byte.
+
+Table construction (paper §3.2, simplified deterministically): iterate
+``_ITERATIONS`` times — greedily encode a bounded sample with the current
+table, count frequencies of emitted symbols and of adjacent-symbol
+concatenations (≤8 bytes), score gain = freq * len, keep the top 254
+candidates (tie-broken by symbol bytes for determinism).
+
+Vectorization: longest-match lengths/codes are computed for ALL positions
+with numpy (per symbol length L: sliding-window L-gram keys + searchsorted
+against the ≤255 sorted symbol keys). Only the final greedy cursor walk is a
+Python loop, and it advances one *symbol* (avg several bytes) per step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ESCAPE = 255
+MAX_SYMBOLS = 255  # codes 0..254
+MAX_LEN = 8
+_ITERATIONS = 5
+_SAMPLE = 1 << 16
+
+_POW256 = (np.uint64(256) ** np.arange(7, -1, -1, dtype=np.uint64))
+
+
+def _gram_keys(data: np.ndarray, L: int) -> np.ndarray:
+    """u64 big-endian keys of all L-grams of ``data`` (len n-L+1)."""
+    n = len(data)
+    if n < L:
+        return np.zeros(0, dtype=np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(data, L).astype(np.uint64)
+    return sw @ _POW256[-L:]
+
+
+def _sym_key(sym: bytes) -> int:
+    k = 0
+    for b in sym:
+        k = (k << 8) | b
+    return k
+
+
+class SymbolTable:
+    """Up to 255 symbols of 1..8 bytes, with match tables per length."""
+
+    def __init__(self, symbols: list[bytes]):
+        assert len(symbols) <= MAX_SYMBOLS
+        self.symbols = symbols
+        # per length: sorted key array + code array (for searchsorted)
+        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for L in range(1, MAX_LEN + 1):
+            pairs = [(_sym_key(s), c) for c, s in enumerate(symbols) if len(s) == L]
+            if pairs:
+                pairs.sort()
+                keys = np.array([p[0] for p in pairs], dtype=np.uint64)
+                codes = np.array([p[1] for p in pairs], dtype=np.int64)
+                self._by_len[L] = (keys, codes)
+
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.symbols)])
+        out += bytes(len(s) for s in self.symbols)
+        for s in self.symbols:
+            out += s
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, buf, pos: int = 0) -> tuple["SymbolTable", int]:
+        n = buf[pos]
+        pos += 1
+        lens = list(buf[pos:pos + n])
+        pos += n
+        symbols = []
+        for ln in lens:
+            symbols.append(bytes(buf[pos:pos + ln]))
+            pos += ln
+        return cls(symbols), pos
+
+    def match_all(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Longest-match (length, code) at every position; len 0 = no match."""
+        n = len(data)
+        best_len = np.zeros(n, dtype=np.int64)
+        best_code = np.zeros(n, dtype=np.int64)
+        for L in sorted(self._by_len):  # ascending; longer overwrites
+            keys, codes = self._by_len[L]
+            grams = _gram_keys(data, L)
+            idx = np.searchsorted(keys, grams)
+            idx_c = np.minimum(idx, len(keys) - 1)
+            hit = keys[idx_c] == grams
+            m = n - L + 1
+            best_len[:m][hit] = L
+            best_code[:m][hit] = codes[idx_c[hit]]
+        return best_len, best_code
+
+
+def _greedy_encode(data: np.ndarray, table: SymbolTable) -> np.ndarray:
+    """Emit code stream (escapes expanded) for ``data`` under ``table``."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    best_len, best_code = table.match_all(data)
+    bl = best_len.tolist()
+    bc = best_code.tolist()
+    raw = data.tolist()
+    out = bytearray()
+    i = 0
+    while i < n:
+        ln = bl[i]
+        if ln:
+            out.append(bc[i])
+            i += ln
+        else:
+            out.append(ESCAPE)
+            out.append(raw[i])
+            i += 1
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _emitted_tokens(data: np.ndarray, table: SymbolTable) -> list[tuple[int, int]]:
+    """(start, length) of each emitted token (symbol match or escape)."""
+    n = len(data)
+    best_len, _ = table.match_all(data)
+    bl = best_len.tolist()
+    toks = []
+    i = 0
+    while i < n:
+        ln = bl[i] or 1
+        toks.append((i, ln))
+        i += ln
+    return toks
+
+
+def build_table(data: np.ndarray, sample: int = _SAMPLE) -> SymbolTable:
+    """Deterministic iterative table construction on a bounded sample."""
+    if len(data) > sample:
+        # 8 contiguous chunks, evenly spaced, for representativeness
+        n_chunks = 8
+        chunk = sample // n_chunks
+        stride = len(data) // n_chunks
+        data = np.concatenate([data[i * stride:i * stride + chunk] for i in range(n_chunks)])
+    table = SymbolTable([])
+    for _ in range(_ITERATIONS):
+        toks = _emitted_tokens(data, table)
+        gains: dict[bytes, int] = {}
+        for j, (start, ln) in enumerate(toks):
+            sym = data[start:start + ln].tobytes()
+            gains[sym] = gains.get(sym, 0) + ln
+            if j + 1 < len(toks):
+                nstart, nln = toks[j + 1]
+                if ln + nln <= MAX_LEN:
+                    cat = data[start:nstart + nln].tobytes()
+                    gains[cat] = gains.get(cat, 0) + ln + nln
+        # gain = bytes covered (paper's freq*len); deterministic tie-break
+        scored = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        table = SymbolTable([s for s, _ in scored[:MAX_SYMBOLS]])
+    return table
+
+
+def encode(blob: bytes) -> bytes:
+    """Compress a byte blob: serialized table + code stream."""
+    data = np.frombuffer(blob, dtype=np.uint8)
+    table = build_table(data)
+    codes = _greedy_encode(data, table)
+    return table.serialize() + codes.tobytes()
+
+
+def decode(buf, out_size: int) -> bytes:
+    """Decompress to exactly ``out_size`` bytes (fully vectorized)."""
+    table, pos = SymbolTable.deserialize(buf, 0)
+    codes = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+    if out_size == 0:
+        return b""
+    # build (256, 8) symbol matrix + length vector
+    mat = np.zeros((256, MAX_LEN), dtype=np.uint8)
+    lens = np.zeros(256, dtype=np.int64)
+    for c, s in enumerate(table.symbols):
+        mat[c, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lens[c] = len(s)
+    # escapes: code 255 followed by a literal byte. A literal byte may itself
+    # be 255, but every maximal run of consecutive 255s starts with an escape,
+    # so within a run the escapes sit at even offsets.
+    pos255 = np.flatnonzero(codes == ESCAPE)
+    if len(pos255):
+        run_start_mask = np.diff(pos255, prepend=-2) != 1
+        run_starts = pos255[run_start_mask]
+        run_idx = np.cumsum(run_start_mask) - 1
+        esc_pos = pos255[(pos255 - run_starts[run_idx]) % 2 == 0]
+    else:
+        esc_pos = pos255
+    if len(esc_pos) and esc_pos[-1] + 1 >= len(codes):
+        raise ValueError("FSST stream ends with a dangling escape")
+    is_esc = np.zeros(len(codes), dtype=bool)
+    is_esc[esc_pos] = True
+    keep = np.ones(len(codes), dtype=bool)
+    keep[esc_pos + 1] = False  # literal bytes are not tokens
+    tok_codes = codes[keep].astype(np.int64)
+    tok_is_esc = is_esc[keep]
+    literals = codes[esc_pos + 1]
+    out_lens = lens[tok_codes]
+    out_lens[tok_is_esc] = 1
+    rows = mat[tok_codes]
+    if tok_is_esc.any():
+        rows = rows.copy()
+        rows[tok_is_esc, 0] = literals
+    mask = np.arange(MAX_LEN) < out_lens[:, None]
+    out = rows[mask]
+    if len(out) != out_size:
+        raise ValueError(f"FSST decode size mismatch: {len(out)} != {out_size}")
+    return out.tobytes()

@@ -1,0 +1,79 @@
+"""LEB128 varints and zigzag, matching the reference decoder.
+
+Reference semantics:
+  - unsigned varint: little-endian base-128, ≤10 bytes
+    (/root/reference/src/read/decode/rle_v2.rs:71-89)
+  - zigzag decode: ``z & 1 == 0 ? z >> 1 : !(z >> 1)``
+    (/root/reference/src/read/decode/rle_v2.rs:91-98)
+  - signed varint = zigzag(unsigned varint)
+    (/root/reference/src/read/decode/rle_v2.rs:100-102)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64_MASK = (1 << 64) - 1
+
+
+def encode_unsigned(value: int) -> bytes:
+    """Unsigned LEB128 encode of a value in [0, 2^64)."""
+    value &= _U64_MASK
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_unsigned(buf, pos: int) -> tuple[int, int]:
+    """Decode one unsigned LEB128 varint at ``pos``; return (value, new_pos)."""
+    value = 0
+    shift = 0
+    for j in range(10):
+        b = buf[pos]
+        pos += 1
+        value |= (b & 0x7F) << shift
+        if b < 0x80:
+            return value & _U64_MASK, pos
+        shift += 7
+    raise ValueError("varint longer than 10 bytes (out of spec)")
+
+
+def zigzag_encode_int(v: int) -> int:
+    """Zigzag a signed 64-bit int to unsigned."""
+    return ((v << 1) ^ (v >> 63)) & _U64_MASK
+
+
+def zigzag_decode_int(z: int) -> int:
+    """Inverse of :func:`zigzag_encode_int` (matches rle_v2.rs:91-98)."""
+    if z & 1 == 0:
+        return z >> 1
+    return ~(z >> 1)
+
+
+def encode_signed(value: int) -> bytes:
+    return encode_unsigned(zigzag_encode_int(value))
+
+
+def decode_signed(buf, pos: int) -> tuple[int, int]:
+    z, pos = decode_unsigned(buf, pos)
+    return zigzag_decode_int(z), pos
+
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """Vectorized zigzag int64 -> uint64."""
+    v = values.astype(np.int64, copy=False)
+    return (v.astype(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64)
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    """Vectorized zigzag uint64 -> int64."""
+    z = values.astype(np.uint64, copy=False)
+    half = (z >> np.uint64(1)).astype(np.int64)
+    sign = -(z & np.uint64(1)).astype(np.int64)
+    return half ^ sign
