@@ -239,14 +239,17 @@ def decode(buf, n: int, signed: bool = True) -> np.ndarray:
             raise ValueError(f"RLEv2 stream exhausted at {total}/{n} values")
         header = buf[pos]
         kind = header >> 6
-        if kind == 0b00:
-            arr, pos = _dec_short_repeat(buf, pos, signed)
-        elif kind == 0b01:
-            arr, pos = _dec_direct(buf, pos, signed)
-        elif kind == 0b10:
-            arr, pos = _dec_patched(buf, pos, signed)
-        else:
-            arr, pos = _dec_delta(buf, pos, signed)
+        try:
+            if kind == 0b00:
+                arr, pos = _dec_short_repeat(buf, pos, signed)
+            elif kind == 0b01:
+                arr, pos = _dec_direct(buf, pos, signed)
+            elif kind == 0b10:
+                arr, pos = _dec_patched(buf, pos, signed)
+            else:
+                arr, pos = _dec_delta(buf, pos, signed)
+        except IndexError as exc:  # clean error, never a panic (SURVEY.md §4)
+            raise ValueError("truncated RLEv2 run") from exc
         parts.append(arr)
         total += len(arr)
     if total != n:

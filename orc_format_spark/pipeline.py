@@ -1,0 +1,254 @@
+"""Spark jobs: encode a DataFrame into the stripes table, decode it back,
+and the persistent form with manifest + lineage/checkpoint + resume.
+
+Execution model (SURVEY.md §3.4):
+
+    ENCODE: df
+      -> bucket = pmod(xxhash64(key), n_buckets), salt = order // salt_rows
+         (salting defuses long-conversation skew: one conversation can span
+         several stripes; decode's global orderBy reassembles it)
+      -> groupBy(bucket, salt).applyInPandas(encode_stripe)   [one shuffle]
+      -> stripes rows (one per stripe-column)  [+ manifest agg, lineage rows]
+    DECODE: stripes table
+      -> optional column pruning (filter col_name — predicate pushdown to
+         the parquet scan) and stripe pruning (manifest min/max)
+      -> groupBy(stripe_id).applyInPandas(decode_stripe)      [one shuffle]
+      -> orderBy(sort keys) at comparison time only
+
+The stripes-as-rows layout is the Spark analog of the reference's
+stripe/stream container (src/read/mod.rs:117-159): locating one column's
+streams becomes a Catalyst filter on ``col_name`` instead of offset math,
+and stripe-granular parallelism falls out of row partitioning.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import stripe as stripe_mod
+
+STRIPE_SCHEMA = T.StructType([
+    T.StructField("stripe_id", T.StringType()),
+    T.StructField("bucket", T.LongType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("col_name", T.StringType()),
+    T.StructField("col_kind", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("compression", T.StringType()),
+    T.StructField("present", T.BinaryType()),
+    T.StructField("data", T.BinaryType()),
+    T.StructField("length", T.BinaryType()),
+    T.StructField("dict_data", T.BinaryType()),
+    T.StructField("extra", T.BinaryType()),
+    T.StructField("n_nulls", T.LongType()),
+    T.StructField("raw_bytes", T.LongType()),
+    T.StructField("enc_bytes", T.LongType()),
+    T.StructField("min_val", T.StringType()),
+    T.StructField("max_val", T.StringType()),
+    T.StructField("ndv", T.LongType()),
+    T.StructField("checksum", T.StringType()),
+])
+
+DEFAULT_STRIPE_ROWS = 65_536
+
+
+def column_kinds(df: DataFrame) -> dict[str, str]:
+    """Column -> engine kind from the Spark schema."""
+    return {f.name: stripe_mod.spark_kind(f.dataType.simpleString())
+            for f in df.schema.fields}
+
+
+def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
+                     sort_keys: list[str] | None = None,
+                     stripe_rows: int = DEFAULT_STRIPE_ROWS,
+                     n_buckets: int | None = None,
+                     n_rows: int | None = None,
+                     force_codecs: dict[str, str] | None = None) -> DataFrame:
+    """Encode ``df`` into stripe-column rows (lazy; one shuffle).
+
+    ``key_col`` groups related rows into the same stripe (conv_id);
+    ``order_col`` both orders rows within the stripe and salts oversized
+    groups (turn_idx // stripe_rows) so a single huge conversation cannot
+    blow past the stripe-size cap (skew handling, north_rule).
+    """
+    kinds = column_kinds(df)
+    sort_keys = sort_keys or [k for k in (key_col, order_col) if k]
+    if n_buckets is None:
+        if n_rows is None:
+            n_rows = df.count()
+        n_buckets = max((n_rows + stripe_rows - 1) // stripe_rows, 1)
+
+    salt = (F.floor(F.col(order_col) / F.lit(stripe_rows)).cast("long")
+            if order_col else F.lit(0))
+    keyed = df.withColumn("__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
+    keyed = keyed.withColumn("__salt", salt)
+
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket, group_salt = int(key[0]), int(key[1])
+        sid = f"{bucket:08d}-{group_salt:06d}"
+        pdf = pdf.drop(columns=["__bucket", "__salt"])
+        return stripe_mod.encode_stripe(pdf, kinds, sid, bucket,
+                                        sort_keys=sort_keys,
+                                        force_codecs=force_codecs)
+
+    return keyed.groupBy("__bucket", "__salt").applyInPandas(encode_group, STRIPE_SCHEMA)
+
+
+def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[T.StructType, list[str]]:
+    """Recover the decoded Spark schema from the stripes metadata (tiny job)."""
+    pairs = (stripes.select("col_name", "col_kind").distinct().collect())
+    kind_to_spark = {
+        "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
+        "int64": T.LongType(), "float32": T.FloatType(), "float64": T.DoubleType(),
+        "bool": T.BooleanType(), "string": T.StringType(),
+        "timestamp": T.TimestampType(), "date": T.DateType(),
+    }
+    by_name = {r["col_name"]: r["col_kind"] for r in pairs}
+    cols = columns or sorted(by_name)
+    fields = [T.StructField(c, kind_to_spark[by_name[c]]) for c in cols]
+    return T.StructType(fields), cols
+
+
+def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
+                     schema: T.StructType | None = None) -> DataFrame:
+    """Decode stripe-column rows back to the original row layout (lazy).
+
+    ``columns`` prunes decode to the named columns — the filter on
+    ``col_name`` is pushed down to the stripes scan by Catalyst, the analog
+    of the reference's read-one-column projection pushdown
+    (src/read/mod.rs:117-159).
+    """
+    if schema is None:
+        schema, columns = infer_schema(stripes, columns)
+    elif columns is None:
+        columns = [f.name for f in schema.fields]
+    pruned = stripes.filter(F.col("col_name").isin(columns))
+    # dedupe defensively: a rerun that crashed between stripes-write and
+    # lineage-write may have appended identical stripe rows (they are
+    # byte-identical by determinism, so keeping either copy is safe)
+    pruned = pruned.dropDuplicates(["stripe_id", "col_name"])
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return stripe_mod.decode_stripe(pdf, columns=columns)
+
+    return pruned.groupBy("stripe_id").applyInPandas(decode_group, schema)
+
+
+def build_manifest(stripes: DataFrame, key_col: str | None = None,
+                   order_col: str | None = None) -> DataFrame:
+    """Footer-style per-stripe index (the FileMetadata/StripeInformation +
+    ColumnStatistics analog, src/proto.rs:206-217,66-87): one small row per
+    stripe with sizes and per-key min/max for stripe pruning."""
+    aggs = [
+        F.max("bucket").alias("bucket"),
+        F.max("n_rows").alias("n_rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.count("*").alias("n_cols"),
+        F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat_ws(":", "col_name", "codec")))).alias("codecs"),
+        F.sha1(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat_ws(":", "col_name", "checksum"))))).alias("checksum"),
+    ]
+    for c, alias in ((key_col, "key"), (order_col, "order")):
+        if c:
+            aggs.append(F.max(F.when(F.col("col_name") == c, F.col("min_val"))).alias(f"{alias}_min"))
+            aggs.append(F.max(F.when(F.col("col_name") == c, F.col("max_val"))).alias(f"{alias}_max"))
+    return stripes.groupBy("stripe_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# persistent job with lineage + idempotent resume
+# ---------------------------------------------------------------------------
+
+
+def _lineage_from_manifest(manifest: DataFrame, run_id: str) -> DataFrame:
+    return manifest.select(
+        "stripe_id", "bucket", "n_rows", "raw_bytes", "enc_bytes", "n_cols",
+        "codecs", "checksum",
+        F.lit("ok").alias("status"), F.lit(run_id).alias("run_id"),
+        F.current_timestamp().alias("committed_at"),
+    )
+
+
+def completed_stripes(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Stripe ids already committed per the lineage table (None if fresh)."""
+    try:
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+    except Exception:
+        return None
+    return lineage.filter(F.col("status") == "ok").select("stripe_id").distinct()
+
+
+def commit(spark: SparkSession, stripes: DataFrame, out_dir: str,
+           key_col: str, order_col: str | None, run_id: str,
+           done: DataFrame | None = None) -> None:
+    """Two-phase commit of a batch of stripes: append stripe rows first,
+    then derive + append manifest and lineage from the WRITTEN bytes (so a
+    crash between the phases leaves re-encodable, deduplicatable stripes
+    rather than lineage rows pointing at missing data)."""
+    stripes.write.mode("append").parquet(f"{out_dir}/stripes")
+    written = spark.read.parquet(f"{out_dir}/stripes")
+    if done is not None:
+        written = written.join(F.broadcast(done), "stripe_id", "left_anti")
+    manifest = build_manifest(written, key_col, order_col)
+    manifest.write.mode("append").parquet(f"{out_dir}/manifest")
+    _lineage_from_manifest(manifest, run_id).write.mode("append").parquet(f"{out_dir}/lineage")
+
+
+def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
+               key_col: str = "conv_id", order_col: str | None = "turn_idx",
+               sort_keys: list[str] | None = None,
+               stripe_rows: int = DEFAULT_STRIPE_ROWS,
+               n_buckets: int | None = None) -> dict:
+    """Encode ``df`` to ``out_dir``/{stripes,manifest,lineage} parquet.
+
+    Idempotent resume (north_rule): stripe ids are a pure function of the
+    input (bucket hash + order salt), so a rerun after a partial failure
+    anti-joins the lineage table and encodes ONLY the missing stripes;
+    re-encoding a stripe reproduces identical bytes (deterministic codecs),
+    and lineage gains exactly one 'ok' row per stripe.
+    """
+    n_rows = df.count()
+    if n_buckets is None:
+        n_buckets = max((n_rows + stripe_rows - 1) // stripe_rows, 1)
+    run_id = uuid.uuid4().hex[:12]
+
+    stripes = encode_dataframe(df, key_col, order_col, sort_keys,
+                               stripe_rows, n_buckets, n_rows=n_rows)
+
+    done = completed_stripes(spark, out_dir)
+    resumed = False
+    if done is not None:
+        stripes = stripes.join(F.broadcast(done), "stripe_id", "left_anti")
+        resumed = True
+
+    commit(spark, stripes, out_dir, key_col, order_col, run_id, done=done)
+
+    stats = (spark.read.parquet(f"{out_dir}/manifest")
+             .agg(F.count("*").alias("n_stripes"), F.sum("n_rows").alias("n_rows"),
+                  F.sum("raw_bytes").alias("raw_bytes"),
+                  F.sum("enc_bytes").alias("enc_bytes")).collect()[0])
+    return {"run_id": run_id, "resumed": resumed, "n_buckets": n_buckets,
+            "n_stripes": stats["n_stripes"], "n_rows": stats["n_rows"],
+            "raw_bytes": stats["raw_bytes"], "enc_bytes": stats["enc_bytes"]}
+
+
+def decode_job(spark: SparkSession, out_dir: str,
+               columns: list[str] | None = None,
+               stripe_predicate=None) -> DataFrame:
+    """Read + decode a persisted stripes table; ``stripe_predicate`` is a
+    Column over the manifest (e.g. key_min/key_max bounds) used to prune
+    whole stripes before any decode work — the Spark analog of the
+    reference's (unused) stats-skipping model (src/proto.rs:66-111)."""
+    stripes = spark.read.parquet(f"{out_dir}/stripes")
+    if stripe_predicate is not None:
+        manifest = spark.read.parquet(f"{out_dir}/manifest")
+        keep = manifest.filter(stripe_predicate).select("stripe_id")
+        stripes = stripes.join(F.broadcast(keep), "stripe_id", "left_semi")
+    return decode_dataframe(stripes, columns=columns)

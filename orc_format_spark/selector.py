@@ -1,0 +1,145 @@
+"""Per-stripe codec auto-selection.
+
+Generalizes the reference writer's single knob — pyorc's
+``dict_key_size_threshold`` (NDV/N ≤ threshold ⇒ dictionary,
+/root/reference/write.py:55,61-65) — into a sampled, deterministic
+min-encoded-bytes chooser (BASELINE.json north_star): per column we look at
+NDV, the run-length/monotonicity structure (captured implicitly by actually
+encoding with the adaptive RLE v2 frame encoder), and byte entropy (captured
+by a sampled FSST/zlib trial), then pick the candidate with the fewest
+encoded bytes. Selection is logged in the stripe row (``codec`` +
+``compression`` columns) which is what decode dispatches on — the analog of
+the reference's ``ColumnEncoding.kind`` dispatch
+(tests/it/deserialize.rs:203-222).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codecs import deflate, fsst, rle_v2, strings, varint
+
+# streams larger than this get a zlib trial; tiny streams aren't worth a header
+ZLIB_MIN = 128
+# strings: dictionary candidate is tried when NDV/N ≤ this (write.py:61 analog;
+# the final choice is still by encoded bytes)
+DICT_THRESHOLD = 0.5
+# FSST trial sample size per stripe
+FSST_SAMPLE = 1 << 15
+
+
+def encode_ints(vals: np.ndarray) -> tuple[str, bytes, bytes]:
+    """Pick 'rle_v2' (signed, incl. patched-base) vs 'for' (frame-of-reference:
+    min subtracted, unsigned RLE v2, min as signed varint in extra).
+
+    Returns (codec, data, extra).
+    """
+    v = vals.astype(np.int64, copy=False)
+    enc_plain = rle_v2.encode(v, signed=True)
+    lo = int(v.min()) if len(v) else 0
+    if len(v) and lo != 0 and (int(v.max()) - lo) < (1 << 63):
+        reduced = (v - lo).astype(np.uint64)
+        enc_for = rle_v2.encode(reduced, signed=False)
+        extra = varint.encode_signed(lo)
+        if len(enc_for) + len(extra) < len(enc_plain):
+            return "for", enc_for, extra
+    return "rle_v2", enc_plain, b""
+
+
+def decode_ints(codec: str, data: bytes, extra: bytes, n: int) -> np.ndarray:
+    if codec == "for":
+        lo, _ = varint.decode_signed(extra, 0)
+        return (rle_v2.decode(data, n, signed=False).view(np.int64) + np.int64(lo))
+    return rle_v2.decode(data, n, signed=True)
+
+
+def _fsst_estimate(blob: bytes) -> float:
+    """Estimated FSST compressed size from a bounded-sample trial."""
+    sample = blob[:FSST_SAMPLE]
+    enc = fsst.encode(sample)
+    ratio = len(enc) / max(len(sample), 1)
+    return ratio * len(blob) + 16
+
+
+def encode_strings(values, force_codec: str | None = None) -> dict:
+    """Pick str_direct / str_dict / str_fsst by (estimated) encoded bytes.
+
+    ``force_codec`` pins the choice (test/ablation hook). Returns
+    dict(codec, data, length, dict_data, extra, ndv).
+    """
+    blob, lengths = strings.encode_direct(values)
+    len_stream = rle_v2.encode(lengths, signed=False)
+    direct_size = len(blob) + len(len_stream)
+
+    n = len(lengths)
+    out = {"length": len_stream, "dict_data": b"", "extra": b"", "ndv": None}
+
+    dict_parts = None
+    dict_size = float("inf")
+    if n and force_codec != "str_direct" and force_codec != "str_fsst":
+        dblob, dlens, codes, ndv = strings.encode_dict(values)
+        out["ndv"] = ndv
+        if force_codec == "str_dict" or ndv <= max(n * DICT_THRESHOLD, 1):
+            dlen_stream = rle_v2.encode(dlens, signed=False)
+            code_stream = rle_v2.encode(codes, signed=False)
+            dict_parts = (dblob, dlen_stream, code_stream)
+            dict_size = len(dblob) + len(dlen_stream) + len(code_stream)
+
+    if force_codec == "str_fsst":
+        out.update(codec="str_fsst", data=fsst.encode(blob),
+                   extra=varint.encode_unsigned(len(blob)))
+        return out
+    if force_codec == "str_dict" and dict_parts is not None:
+        dblob, dlen_stream, code_stream = dict_parts
+        out.update(codec="str_dict", data=code_stream, dict_data=dblob,
+                   length=dlen_stream)
+        return out
+    if force_codec == "str_direct":
+        out.update(codec="str_direct", data=blob)
+        return out
+
+    fsst_size = _fsst_estimate(blob) if len(blob) >= 1024 else float("inf")
+
+    best = min(direct_size, dict_size, fsst_size)
+    if best == fsst_size:
+        data = fsst.encode(blob)
+        # estimate can be off — fall back if the full encode didn't win
+        if len(data) + len(len_stream) < min(direct_size, dict_size):
+            out.update(codec="str_fsst", data=data,
+                       extra=varint.encode_unsigned(len(blob)))
+            return out
+        best = min(direct_size, dict_size)
+    if best == dict_size:
+        dblob, dlen_stream, code_stream = dict_parts
+        # dict layout: data=codes, dict_data=blob, length=dict-entry lengths
+        out.update(codec="str_dict", data=code_stream, dict_data=dblob,
+                   length=dlen_stream)
+        return out
+    out.update(codec="str_direct", data=blob)
+    return out
+
+
+def decode_strings(codec: str, data: bytes, length: bytes, dict_data: bytes,
+                   extra: bytes, n: int, ndv):
+    """Inverse of :func:`encode_strings`; returns a pyarrow Array."""
+    if codec == "str_dict":
+        dlens = rle_v2.decode(length, int(ndv), signed=False)
+        codes = rle_v2.decode(data, n, signed=False)
+        return strings.decode_dict(dict_data, dlens, codes)
+    lengths = rle_v2.decode(length, n, signed=False)
+    if codec == "str_fsst":
+        blob_len, _ = varint.decode_unsigned(extra, 0)
+        blob = fsst.decode(data, blob_len)
+    else:
+        blob = data
+    return strings.decode_direct(blob, lengths)
+
+
+def maybe_zlib(stream: bytes) -> tuple[str, bytes]:
+    """Try the framed-zlib layer; keep it only if it shrinks the stream."""
+    if len(stream) < ZLIB_MIN:
+        return "none", stream
+    comp = deflate.compress(stream)
+    if len(comp) < len(stream):
+        return "zlib", comp
+    return "none", stream

@@ -1,0 +1,174 @@
+"""Codec round-trip properties over seeded adversarial inputs (no Spark).
+
+Mirrors the reference's cross-checked per-type deserializer contracts
+(tests/it/deserialize.rs:27-222) plus the run/value cross-check property
+(deserialize.rs:48-82) translated to encode→decode identity.
+"""
+
+import numpy as np
+import pytest
+
+from orc_format_spark.codecs import (boolean_rle, deflate, floats, fsst,
+                                     rle_v2, strings)
+
+rng = np.random.default_rng(42)
+
+INT_CASES = [
+    np.array([], dtype=np.int64),
+    np.array([7], dtype=np.int64),
+    np.array([0, 0], dtype=np.int64),
+    np.array([5, 5, 5, 5, 5], dtype=np.int64),          # short repeat
+    np.array([-5, -5, -5, -5, -5], dtype=np.int64),     # signed short repeat
+    np.array([1, 2, 4, 5], dtype=np.int64),             # delta asc (write.py:14)
+    np.array([5, 4, 2, 1], dtype=np.int64),             # delta desc (write.py:15)
+    np.array([1, 6, 3, 2], dtype=np.int64),             # direct (write.py:16)
+    np.array([-1, -6, -3, -2], dtype=np.int64),         # signed direct (write.py:17)
+    np.array([5, -5, 1, 5, 5], dtype=np.int64),         # mixed sign (write.py:20)
+    np.arange(100_000, dtype=np.int64),                 # delta width 0 across frames
+    np.arange(100_000, 0, -1, dtype=np.int64),
+    np.full(100_000, 123456789, dtype=np.int64),
+    rng.integers(-1000, 1000, 10_000).astype(np.int64),
+    rng.integers(0, 2**62, 4096).astype(np.int64),
+    np.repeat(rng.integers(0, 50, 200), rng.integers(1, 40, 200)).astype(np.int64),
+    np.cumsum(rng.integers(1, 300, 5000)).astype(np.int64) * 1_000_000,  # ts-like
+    np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, -1, 1], dtype=np.int64),
+    # patched-base bait: small values with sparse huge outliers
+    np.where(rng.random(512) < 0.02, 2**45, rng.integers(0, 64, 512)).astype(np.int64),
+    np.concatenate([np.zeros(500, np.int64), [2**40], np.zeros(20, np.int64)]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(INT_CASES)))
+def test_rle_v2_signed_roundtrip(case):
+    v = INT_CASES[case]
+    enc = rle_v2.encode(v, signed=True)
+    assert (rle_v2.decode(enc, len(v), signed=True) == v).all()
+
+
+@pytest.mark.parametrize("case", range(len(INT_CASES)))
+def test_rle_v2_unsigned_roundtrip(case):
+    v = INT_CASES[case]
+    if len(v) and (v < 0).any():
+        pytest.skip("negative values")
+    u = v.astype(np.uint64)
+    enc = rle_v2.encode(u, signed=False)
+    assert (rle_v2.decode(enc, len(u), signed=False) == u).all()
+
+
+def test_rle_v2_patched_base_is_emitted_and_smaller():
+    v = np.where(rng.random(512) < 0.02, 2**45, rng.integers(0, 64, 512)).astype(np.int64)
+    enc = rle_v2.encode(v, signed=True)
+    assert enc[0] >> 6 == 0b10, "expected a PatchedBase run header"
+    direct_floor = 2 + 512 * 48 // 8
+    assert len(enc) < direct_floor / 4
+
+
+def test_rle_v2_rejects_truncated():
+    v = np.arange(100, dtype=np.int64)
+    enc = rle_v2.encode(v)
+    with pytest.raises(ValueError):
+        rle_v2.decode(enc[:3], 100)
+    # clean error, not a panic (reference decompress/mod.rs:122 would panic)
+
+
+BOOL_CASES = [
+    np.zeros(0, dtype=bool),
+    np.ones(32, dtype=bool),                     # long_bool (write.py:83-89)
+    np.zeros(1000, dtype=bool),
+    rng.random(10_000) < 0.5,
+    rng.random(997) < 0.03,
+    np.array([True, False, True, False]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(BOOL_CASES)))
+def test_boolean_roundtrip(case):
+    b = BOOL_CASES[case]
+    enc = boolean_rle.encode_bools(b)
+    assert (boolean_rle.decode_bools(enc, len(b)) == b).all()
+
+
+def test_byte_rle_roundtrip():
+    for data in [b"", b"a", b"aaab" * 100, b"x" * 1000,
+                 bytes(rng.integers(0, 256, 5000).astype(np.uint8))]:
+        out = boolean_rle.decode_bytes(boolean_rle.encode_bytes(data), len(data))
+        assert out.tobytes() == data
+
+
+STR_CASES = [
+    [],
+    [""],
+    ["a", "cccccc", "ddd", "ee"],                 # str_direct family (write.py:8)
+    ["a", "bb", "ccc", "ddd"],                    # delta+ lengths (write.py:9)
+    ["ddd", "cc", "bb", "a"],                     # delta- lengths (write.py:10)
+    ["aaaaa", "bbbbb", "ccccc", "ddddd"],         # short-repeat lengths (write.py:11)
+    ["abcd", "efgh"] * 32,                        # dict candidate (write.py:97-103)
+    ["abcd", "efgh"] * 5000,                      # 10^4 rows (write.py:105-110)
+    ["héllo", "wörld", "→", "数据", ""] * 10,
+    [f"s{i}" for i in range(1000)],               # all-distinct
+]
+
+
+@pytest.mark.parametrize("case", range(len(STR_CASES)))
+def test_string_direct_roundtrip(case):
+    vals = STR_CASES[case]
+    blob, lens = strings.encode_direct(vals)
+    assert strings.decode_direct(blob, lens).to_pylist() == vals
+
+
+@pytest.mark.parametrize("case", range(len(STR_CASES)))
+def test_string_dict_roundtrip(case):
+    vals = STR_CASES[case]
+    blob, dlens, codes, ndv = strings.encode_dict(vals)
+    assert strings.decode_dict(blob, dlens, codes).to_pylist() == vals
+    assert ndv == len(set(vals))
+
+
+def test_dict_is_sorted():
+    # pyorc writes sorted dictionaries (SURVEY.md §2.6/C6); ours must match
+    blob, dlens, codes, _ = strings.encode_dict(["zebra", "apple", "mango", "apple"])
+    entries = strings.decode_direct(blob, dlens).to_pylist()
+    assert entries == sorted(entries) == ["apple", "mango", "zebra"]
+
+
+def test_fsst_roundtrip():
+    text = ("the quick brown fox jumps over the lazy dog. " * 200
+            + "héllo wörld→ " * 50).encode()
+    enc = fsst.encode(text)
+    assert fsst.decode(enc, len(text)) == text
+    assert len(enc) < len(text) // 2
+
+
+def test_fsst_handles_255_bytes():
+    t = bytes([255, 255, 255, 65, 255]) * 20 + b"normal text" * 5
+    assert fsst.decode(fsst.encode(t), len(t)) == t
+
+
+def test_fsst_empty_and_incompressible():
+    assert fsst.decode(fsst.encode(b""), 0) == b""
+    noise = bytes(rng.integers(0, 256, 4096).astype(np.uint8))
+    assert fsst.decode(fsst.encode(noise), len(noise)) == noise
+
+
+def test_deflate_tiny_blocks_cross_value_boundaries():
+    # compression_block_size=32 stressor (reference write.py:62-64)
+    raw = b"abcd" * 10_000
+    assert deflate.decompress(deflate.compress(raw, block_size=32)) == raw
+
+
+def test_deflate_incompressible_uses_original_escape():
+    noise = bytes(rng.integers(0, 256, 1024).astype(np.uint8))
+    framed = deflate.compress(noise, block_size=256)
+    assert deflate.decompress(framed) == noise
+    header = int.from_bytes(framed[:3], "little")
+    assert header & 1 == 1, "incompressible chunk must be stored original"
+
+
+def test_floats_bit_identity_including_nan_payloads():
+    import struct
+    vals = np.frombuffer(
+        struct.pack("<5d", 1.0, -0.0, float("inf"), float("nan"), 2.5)
+        + struct.pack("<Q", 0x7FF8DEADBEEF0001), dtype=np.float64)
+    enc = floats.encode(vals)
+    dec = floats.decode(enc, len(vals))
+    assert dec.tobytes() == vals.tobytes()  # bit-identical incl. NaN payload
