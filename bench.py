@@ -1,0 +1,169 @@
+"""Benchmark harness. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "encode": {...}, "scaling": {...}}
+
+Headline: transcripts encode/decode throughput (turns/sec) at
+$SPARK_GRAFT_SF_DIR scale, plus the oracle queries' wall times.
+
+Scaling evidence (north_rule ≥0.8 from N to 4N executors; sandbox stand-in
+is local[8] vs local[32] on the SAME pre-written input — see BENCH.md):
+run with SPARK_GRAFT_SCALING=1 (or `--scaling`), which launches two
+subprocess workers (`bench.py --worker`) so each parallelism level gets its
+own JVM.
+
+Usage:
+    python bench.py                # per-round bench (includes scaling)
+    python bench.py --no-scaling   # skip the two-JVM scaling run
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# transcripts scale: chosen so bench turns ~ sf0.1 lineitem rows (~600k)
+# with avg ~11 turns/conversation, heavy-tailed (FIXTURES.md)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "55000"))
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "150000"))
+STRIPE_ROWS = int(os.environ.get("SPARK_GRAFT_STRIPE_ROWS", "8192"))
+TMP = os.path.join(REPO, ".bench_tmp")
+
+
+def _encode_once(spark, df, stripe_rows=STRIPE_ROWS):
+    from pyspark.sql import functions as F
+    from orc_format_spark import pipeline
+    stripes = pipeline.encode_dataframe(df, "conv_id", "turn_idx",
+                                        stripe_rows=stripe_rows)
+    row = stripes.agg(F.sum("enc_bytes").alias("enc"),
+                      F.sum("raw_bytes").alias("raw"),
+                      F.sum(F.when(F.col("col_name") == "turn_idx",
+                                   F.col("n_rows"))).alias("turns")).collect()[0]
+    return {"enc_bytes": int(row["enc"]), "raw_bytes": int(row["raw"]),
+            "turns": int(row["turns"])}
+
+
+def worker(master: str, data_path: str, stripe_rows: int) -> None:
+    """Subprocess entry: time one encode job at the given parallelism."""
+    from orc_format_spark.session import get_spark
+    spark = get_spark(app=f"bench-{master}", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(data_path)
+    df.count()  # warm the input cache path (files in page cache already)
+    t0 = time.perf_counter()
+    stats = _encode_once(spark, df, stripe_rows)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"master": master, "sec": dt,
+                      "turns_per_sec": stats["turns"] / dt, **stats}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    """local[8] vs local[32] on identical input, separate JVMs."""
+    os.makedirs(TMP, exist_ok=True)
+    data = os.path.join(TMP, "transcripts_scaling")
+    if not os.path.exists(data):
+        from orc_format_spark.session import get_spark
+        from orc_format_spark import transcripts
+        spark = get_spark(app="bench-gen")
+        spark.sparkContext.setLogLevel("ERROR")
+        (transcripts.generate(spark, SCALING_CONVS, seed=42)
+         .write.mode("overwrite").parquet(data))
+        spark.stop()
+    results = {}
+    for master in ("local[8]", "local[32]"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", master,
+             data, str(STRIPE_ROWS)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[master] = json.loads(line)
+    n, n4 = results["local[8]"], results["local[32]"]
+    eff = (n4["turns_per_sec"] / n["turns_per_sec"]) / 4.0
+    return {"N_cores": 8, "fourN_cores": 32,
+            "turns_per_sec_N": round(n["turns_per_sec"], 1),
+            "turns_per_sec_4N": round(n4["turns_per_sec"], 1),
+            "sec_N": round(n["sec"], 2), "sec_4N": round(n4["sec"], 2),
+            "scaling_efficiency": round(eff, 3),
+            "input_turns": n["turns"]}
+
+
+def main() -> None:
+    scaling_enabled = ("--no-scaling" not in sys.argv
+                       and os.environ.get("SPARK_GRAFT_SCALING", "1") != "0")
+    from orc_format_spark.session import get_spark
+    from orc_format_spark import transcripts
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    # headline: transcripts encode + decode at bench scale
+    t0 = time.perf_counter()
+    df = transcripts.generate(spark, N_CONVS, seed=42)
+    df.cache()
+    n_turns = df.count()
+    gen_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    enc_stats = _encode_once(spark, df)
+    queries["encode_transcripts"] = time.perf_counter() - t0
+
+    from orc_format_spark import pipeline
+    t0 = time.perf_counter()
+    stripes = pipeline.encode_dataframe(df, "conv_id", "turn_idx",
+                                        stripe_rows=STRIPE_ROWS)
+    dec = pipeline.decode_dataframe(stripes, columns=df.columns, schema=df.schema)
+    dec.count()
+    queries["encode_decode_transcripts"] = time.perf_counter() - t0
+    df.unpersist()
+
+    # oracle-suite queries at SF_DIR
+    for name in ("roundtrip_events", "roundtrip_lineitem", "fsst_doc_text",
+                 "dedup_exact", "text_quality", "ann_topk", "dedup_minhash"):
+        fn = entrymod.queries()[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        queries[name] = time.perf_counter() - t0
+
+    spark.stop()
+
+    scaling = run_scaling() if scaling_enabled else None
+
+    total = sum(queries.values())
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "encode": {
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / queries["encode_transcripts"], 1),
+            "raw_bytes": enc_stats["raw_bytes"],
+            "enc_bytes": enc_stats["enc_bytes"],
+            "compression_ratio": round(enc_stats["enc_bytes"] / enc_stats["raw_bytes"], 4),
+            "gen_sec": round(gen_sec, 2),
+        },
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    else:
+        main()

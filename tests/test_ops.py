@@ -1,0 +1,173 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — correctness on small deterministic inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orc_format_spark.ops import dedup, multimodal, similarity, text
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(DOCS)
+    d.cache().count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(EMB)
+    e.cache().count()
+    return e
+
+
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                        "text": ["a", "b", "a", "c", "b"]})
+    out = dedup.exact_dedup(spark.createDataFrame(pdf)).toPandas()
+    out = out.sort_values("text", ignore_index=True)
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["n_copies"].tolist() == [2, 2, 1]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = ("spark is a unified analytics engine for large scale data "
+            "processing with high level apis") * 3
+    rows = [(0, base), (1, base.replace("engine", "motor")),  # near-dup pair
+            (2, "completely different content about cooking recipes and food"),
+            (3, base), (4, "another unrelated short string")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = dedup.minhash_lsh_pairs(df, n_hashes=64, bands=16)
+    verified = dedup.jaccard_verify(df, pairs, threshold=0.6).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(verified.id_a, verified.id_b)}
+    assert (0, 3) in found, f"exact dup pair missed: {found}"
+    assert (0, 1) in found or (1, 3) in found, f"near-dup pair missed: {found}"
+    assert all(2 not in p and 4 not in p for p in found), f"false positive: {found}"
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["hello world " * 10, "spark rle codec " * 8]}))
+    s1 = dedup.minhash_signatures(df).orderBy("doc_id").toPandas()
+    s2 = dedup.minhash_signatures(df).orderBy("doc_id").toPandas()
+    assert s1["signature"].tolist() == s2["signature"].tolist()
+
+
+def test_simhash_similar_texts_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base.replace("lazy", "hazy"),
+                 "entirely different subject matter entirely " * 5]}))
+    out = dedup.simhash_signatures(df).orderBy("doc_id").toPandas()
+    h = [int(x) + (1 << 63) for x in out["simhash"]]
+    d01 = bin(h[0] ^ h[1]).count("1")
+    d02 = bin(h[0] ^ h[2]).count("1")
+    assert d01 < d02, f"simhash distances: near={d01} far={d02}"
+    assert d01 <= 16
+
+
+def test_embedding_cosine_dups_finds_planted_pair(spark, emb):
+    # plant an exact duplicate of the first vector under a new id
+    first = emb.orderBy("vec_id").first()
+    dup = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999_999], "embedding": [list(first["embedding"])],
+                      "label": [int(first["label"])]}))
+    df = emb.unionByName(dup)
+    out = dedup.embedding_cosine_dups(df, threshold=0.999).toPandas()
+    pairs = {tuple(sorted((a, b))) for a, b in zip(out.id_a, out.id_b)}
+    assert (int(first["vec_id"]), 999_999) in pairs
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = m[0]
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    exp = pdf["vec_id"].to_numpy()[order][:10].tolist()
+    got = (similarity.brute_force_topk(emb, [float(x) for x in q], k=10)
+           .toPandas()["vec_id"].tolist())
+    assert got == exp
+
+
+def test_lsh_topk_recall(spark, emb):
+    pdf = emb.orderBy("vec_id").limit(1).toPandas()
+    q = [float(x) for x in pdf["embedding"][0]]
+    exact = set(similarity.brute_force_topk(emb, q, k=10).toPandas()["vec_id"])
+    approx = set(similarity.lsh_topk(emb, q, k=10, n_planes=6, n_probes=4)
+                 .toPandas()["vec_id"])
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    assert pdf["vec_id"][0] in approx, "query vector itself must be found"
+
+
+def test_quality_metrics_values(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": ["Hello, world! 123", "", "  a  b  "]}))
+    out = text.quality_metrics(df).orderBy("doc_id").toPandas()
+    assert out["n_chars"].tolist() == [17, 0, 8]
+    assert out["n_tokens"].tolist() == [3, 0, 2]
+    assert out["n_digits"].tolist() == [3, 0, 0]
+    assert out["n_punct"].tolist() == [2, 0, 0]
+    assert out["n_ascii_alpha"].tolist() == [10, 0, 2]
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat and the dog are sitting in the garden of the house",
+                 "der hund und die katze sitzen in einem schönen garten",
+                 "zzz qqq 12345"]}))
+    out = text.language_id(df).orderBy("doc_id").toPandas()
+    assert out["lang_pred"].tolist()[0] == "en"
+    assert out["lang_pred"].tolist()[1] == "de"
+    assert out["lang_pred"].tolist()[2] == "und"
+
+
+def test_fingerprint_robust_to_small_edit(spark):
+    base = "a long document about distributed columnar encoding " * 20
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base + " tail edit", "short"]}))
+    out = text.fingerprint(df).orderBy("doc_id").toPandas()
+    f = out["fingerprint"].tolist()
+    assert f[0] == f[1], "min-hash fingerprint should survive a tail edit"
+    assert f[0] != f[2]
+
+
+def test_multimodal_metadata_and_features(spark):
+    ids = spark.range(20).select(F.col("id").alias("blob_id"))
+
+    import pandas as pd_
+    from collections.abc import Iterator
+
+    def attach(batches: Iterator[pd_.DataFrame]) -> Iterator[pd_.DataFrame]:
+        for pdf in batches:
+            yield pd_.DataFrame({
+                "blob_id": pdf["blob_id"],
+                "blob": [multimodal.make_fake_blob(int(i), width=10, height=4)
+                         for i in pdf["blob_id"]]})
+
+    blobs = ids.mapInPandas(attach, schema="blob_id long, blob binary")
+    meta = multimodal.extract_metadata(blobs).orderBy("blob_id").toPandas()
+    assert (meta["width"] == 10).all() and (meta["height"] == 4).all()
+    assert (meta["n_bytes"] == 14 + 10 * 4 * 3).all()
+    feats = multimodal.image_features(blobs, fake=True).orderBy("blob_id").toPandas()
+    assert len(feats) == 20 and all(len(m) == 3 for m in feats["channel_means"])
+    frames = multimodal.frame_sample(blobs, every=2, fake=True).toPandas()
+    assert len(frames) == 20 * 2  # height 4, every 2 -> 2 frames per blob
+
+
+def test_real_decode_is_explicit_stub():
+    blob = multimodal.make_fake_blob(0)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(blob, fake=False)
+    img = multimodal.decode_image(blob, fake=True)
+    assert img.shape == (6, 8, 3)
