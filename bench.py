@@ -32,9 +32,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # transcripts scale: chosen so bench turns ~ sf0.1 lineitem rows (~600k)
-# with avg ~11 turns/conversation, heavy-tailed (FIXTURES.md)
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "55000"))
-SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "150000"))
+# with avg ~70 turns/conversation (heavy Zipf tail, FIXTURES.md)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8500"))
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "20000"))
 STRIPE_ROWS = int(os.environ.get("SPARK_GRAFT_STRIPE_ROWS", "8192"))
 TMP = os.path.join(REPO, ".bench_tmp")
 

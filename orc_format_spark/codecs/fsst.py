@@ -30,7 +30,7 @@ ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254
 MAX_LEN = 8
 _ITERATIONS = 5
-_SAMPLE = 1 << 16
+_SAMPLE = 1 << 15
 
 _POW256 = (np.uint64(256) ** np.arange(7, -1, -1, dtype=np.uint64))
 
@@ -42,6 +42,25 @@ def _gram_keys(data: np.ndarray, L: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     sw = np.lib.stride_tricks.sliding_window_view(data, L).astype(np.uint64)
     return sw @ _POW256[-L:]
+
+
+class _GramKeys:
+    """Rolling 8-byte keys over zero-padded data: one O(8n) build, then any
+    L-gram key array is a slice + shift (no copies beyond the build)."""
+
+    def __init__(self, data: np.ndarray):
+        self.n = n = len(data)
+        d = np.zeros(n + 7, dtype=np.uint64)
+        d[:n] = data
+        key8 = np.zeros(n, dtype=np.uint64)
+        for j in range(8):
+            key8 = (key8 << np.uint64(8)) | d[j:j + n]
+        self._key8 = key8  # key8[i] = bytes i..i+7 big-endian (zero-padded)
+
+    def keys(self, L: int) -> np.ndarray:
+        """Keys of all n-L+1 L-grams (positions where the gram fits)."""
+        m = max(self.n - L + 1, 0)
+        return self._key8[:m] >> np.uint64((8 - L) * 8)
 
 
 def _sym_key(sym: bytes) -> int:
@@ -91,9 +110,10 @@ class SymbolTable:
         n = len(data)
         best_len = np.zeros(n, dtype=np.int64)
         best_code = np.zeros(n, dtype=np.int64)
+        gk = _GramKeys(data) if self._by_len else None
         for L in sorted(self._by_len):  # ascending; longer overwrites
             keys, codes = self._by_len[L]
-            grams = _gram_keys(data, L)
+            grams = gk.keys(L)
             idx = np.searchsorted(keys, grams)
             idx_c = np.minimum(idx, len(keys) - 1)
             hit = keys[idx_c] == grams
@@ -103,41 +123,48 @@ class SymbolTable:
         return best_len, best_code
 
 
+def _token_starts(best_len: np.ndarray) -> np.ndarray:
+    """Greedy left-to-right token starts. The scan itself is irreducibly
+    sequential (each token's start depends on the previous token's length),
+    so it is kept to ONE list-append + ONE list-index per emitted token;
+    everything else is vectorized."""
+    n = len(best_len)
+    steps = np.maximum(best_len, 1).tolist()
+    starts = []
+    append = starts.append
+    i = 0
+    while i < n:
+        append(i)
+        i += steps[i]
+    return np.array(starts, dtype=np.int64)
+
+
 def _greedy_encode(data: np.ndarray, table: SymbolTable) -> np.ndarray:
-    """Emit code stream (escapes expanded) for ``data`` under ``table``."""
+    """Emit code stream (escapes expanded) for ``data`` under ``table``.
+    Token resolution: minimal sequential scan; byte emission: vectorized."""
     n = len(data)
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
     best_len, best_code = table.match_all(data)
-    bl = best_len.tolist()
-    bc = best_code.tolist()
-    raw = data.tolist()
-    out = bytearray()
-    i = 0
-    while i < n:
-        ln = bl[i]
-        if ln:
-            out.append(bc[i])
-            i += ln
-        else:
-            out.append(ESCAPE)
-            out.append(raw[i])
-            i += 1
-    return np.frombuffer(bytes(out), dtype=np.uint8)
+    starts = _token_starts(best_len)
+    tok_len = best_len[starts]
+    is_esc = tok_len == 0
+    out_sizes = np.where(is_esc, 2, 1)
+    offsets = np.zeros(len(starts), dtype=np.int64)
+    np.cumsum(out_sizes[:-1], out=offsets[1:])
+    out = np.empty(int(out_sizes.sum()), dtype=np.uint8)
+    out[offsets] = np.where(is_esc, ESCAPE, best_code[starts]).astype(np.uint8)
+    esc_off = offsets[is_esc]
+    out[esc_off + 1] = data[starts[is_esc]]
+    return out
 
 
-def _emitted_tokens(data: np.ndarray, table: SymbolTable) -> list[tuple[int, int]]:
-    """(start, length) of each emitted token (symbol match or escape)."""
-    n = len(data)
+def _emitted_tokens(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of emitted tokens (symbol match or escape)."""
     best_len, _ = table.match_all(data)
-    bl = best_len.tolist()
-    toks = []
-    i = 0
-    while i < n:
-        ln = bl[i] or 1
-        toks.append((i, ln))
-        i += ln
-    return toks
+    starts = _token_starts(best_len)
+    lens = np.maximum(best_len[starts], 1)
+    return starts, lens
 
 
 def build_table(data: np.ndarray, sample: int = _SAMPLE) -> SymbolTable:
@@ -148,18 +175,24 @@ def build_table(data: np.ndarray, sample: int = _SAMPLE) -> SymbolTable:
         chunk = sample // n_chunks
         stride = len(data) // n_chunks
         data = np.concatenate([data[i * stride:i * stride + chunk] for i in range(n_chunks)])
+    blob = data.tobytes()
     table = SymbolTable([])
     for _ in range(_ITERATIONS):
-        toks = _emitted_tokens(data, table)
+        starts, lens = _emitted_tokens(data, table)
+        st = starts.tolist()
+        ln = lens.tolist()
+        ends = (starts + lens).tolist()
+        cat_ok = (np.concatenate([lens[:-1] + lens[1:], [99]]) <= MAX_LEN).tolist()
         gains: dict[bytes, int] = {}
-        for j, (start, ln) in enumerate(toks):
-            sym = data[start:start + ln].tobytes()
-            gains[sym] = gains.get(sym, 0) + ln
-            if j + 1 < len(toks):
-                nstart, nln = toks[j + 1]
-                if ln + nln <= MAX_LEN:
-                    cat = data[start:nstart + nln].tobytes()
-                    gains[cat] = gains.get(cat, 0) + ln + nln
+        get = gains.get
+        for j in range(len(st)):
+            s, e = st[j], ends[j]
+            sym = blob[s:e]
+            gains[sym] = get(sym, 0) + ln[j]
+            if cat_ok[j]:
+                e2 = ends[j + 1]
+                cat = blob[s:e2]
+                gains[cat] = get(cat, 0) + (e2 - s)
         # gain = bytes covered (paper's freq*len); deterministic tie-break
         scored = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
         table = SymbolTable([s for s, _ in scored[:MAX_SYMBOLS]])

@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 61) - 1
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mixing, vectorized."""
+    z = h.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per distinct text (hash groupBy; one shuffle)."""
@@ -132,8 +143,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             out = []
             for hashes in _shingle_hashes(pdf[text_col], shingle_k):
-                # spread the 61-bit rolling hashes over 64 bits deterministically
-                h64 = hashes * np.uint64(0x9E3779B97F4A7C15)
+                # spread the 61-bit rolling hashes over 64 bits (full avalanche)
+                h64 = _mix64(hashes)
                 bits = (h64[:, None] >> bit_idx) & np.uint64(1)
                 votes = bits.sum(axis=0) * 2 - len(h64)  # +1/-1 voting
                 sig = int(((votes > 0).astype(np.uint64) << bit_idx).sum())

@@ -98,7 +98,12 @@ def encode_strings(values, force_codec: str | None = None) -> dict:
         out.update(codec="str_direct", data=blob)
         return out
 
-    fsst_size = _fsst_estimate(blob) if len(blob) >= 1024 else float("inf")
+    # FSST trial gate: only worth paying the symbol-table build when the
+    # column is text-like — big blob AND dictionary is not already winning
+    # big (dict on low-NDV columns reaches sizes FSST cannot touch)
+    fsst_worthwhile = (len(blob) >= 4096
+                       and dict_size > max(len(blob) * 0.30, 512))
+    fsst_size = _fsst_estimate(blob) if fsst_worthwhile else float("inf")
 
     best = min(direct_size, dict_size, fsst_size)
     if best == fsst_size:

@@ -55,7 +55,7 @@ def test_minhash_signature_deterministic(spark):
         {"doc_id": [0, 1], "text": ["hello world " * 10, "spark rle codec " * 8]}))
     s1 = dedup.minhash_signatures(df).orderBy("doc_id").toPandas()
     s2 = dedup.minhash_signatures(df).orderBy("doc_id").toPandas()
-    assert s1["signature"].tolist() == s2["signature"].tolist()
+    assert [list(s) for s in s1["signature"]] == [list(s) for s in s2["signature"]]
 
 
 def test_simhash_similar_texts_close(spark):
