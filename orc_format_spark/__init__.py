@@ -21,3 +21,23 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_malloc() -> None:
+    """Keep large numpy buffers inside the glibc arena instead of per-call
+    mmap/munmap. The codec kernels allocate multi-MB temporaries per stripe;
+    with tens of concurrent Python workers, munmap-driven TLB shootdowns
+    serialize the whole box (measured 7x aggregate throughput loss at 32
+    procs on this host). mallopt at import time covers every process that
+    imports the engine — driver and Spark Python workers alike."""
+    import ctypes
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass  # non-glibc platform: harmless to skip
+
+
+_tune_malloc()

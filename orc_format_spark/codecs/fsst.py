@@ -106,20 +106,33 @@ class SymbolTable:
         return cls(symbols), pos
 
     def match_all(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Longest-match (length, code) at every position; len 0 = no match."""
+        """Longest-match (length, code) at every position; len 0 = no match.
+
+        Bandwidth-lean: one rolling key build, then ONE reused buffer shifted
+        in place per length (descending), int8/uint8 result arrays — the
+        kernels stay ALU-bound so they scale across many workers."""
         n = len(data)
-        best_len = np.zeros(n, dtype=np.int64)
-        best_code = np.zeros(n, dtype=np.int64)
-        gk = _GramKeys(data) if self._by_len else None
-        for L in sorted(self._by_len):  # ascending; longer overwrites
+        best_len = np.zeros(n, dtype=np.int8)
+        best_code = np.zeros(n, dtype=np.uint8)
+        if not self._by_len:
+            return best_len, best_code
+        g = _GramKeys(data)._key8  # owned buffer, shifted in place below
+        cur_shift = 0
+        for L in sorted(self._by_len, reverse=True):  # longest first
             keys, codes = self._by_len[L]
-            grams = gk.keys(L)
-            idx = np.searchsorted(keys, grams)
-            idx_c = np.minimum(idx, len(keys) - 1)
-            hit = keys[idx_c] == grams
+            want = (8 - L) * 8
+            if want != cur_shift:
+                g >>= np.uint64(want - cur_shift)
+                cur_shift = want
             m = n - L + 1
+            grams = g[:m]
+            idx = np.searchsorted(keys, grams)
+            np.minimum(idx, len(keys) - 1, out=idx)
+            hit = keys[idx] == grams
+            if L < 8:
+                hit &= best_len[:m] == 0  # longer match already claimed
             best_len[:m][hit] = L
-            best_code[:m][hit] = codes[idx_c[hit]]
+            best_code[:m][hit] = codes[idx[hit]]
         return best_len, best_code
 
 

@@ -55,6 +55,19 @@ STRIPE_SCHEMA = T.StructType([
 ])
 
 DEFAULT_STRIPE_ROWS = 65_536
+# stripes held in memory per encode task (bounds task memory ≈ this many
+# stripes of raw input)
+STRIPES_PER_PARTITION = 4
+
+
+def _work_partitions(spark: SparkSession, n_groups: int) -> int:
+    """Task count for the CPU-bound Arrow-UDF stages. Pinned explicitly
+    because AQE's size-based coalescing targets ~64MB partitions and would
+    serialize CPU-heavy (but byte-light) codec work onto a handful of tasks.
+    Scales with both cluster parallelism (≥4 waves per core for balance) and
+    data volume (≤STRIPES_PER_PARTITION stripes per task bounds memory)."""
+    cores = spark.sparkContext.defaultParallelism
+    return max(cores * 4, -(-n_groups // STRIPES_PER_PARTITION))
 
 
 def column_kinds(df: DataFrame) -> dict[str, str]:
@@ -87,16 +100,40 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
             if order_col else F.lit(0))
     keyed = df.withColumn("__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
     keyed = keyed.withColumn("__salt", salt)
+    # ONE explicit shuffle (see _work_partitions for why the count is pinned)
+    # + a JVM-side Tungsten sort; stripes are then contiguous row ranges and
+    # the Arrow UDF slices them zero-copy. No pandas anywhere: strings go
+    # Arrow buffers -> numpy codec kernels directly (mapInArrow).
+    spark = df.sparkSession
+    p = _work_partitions(spark, n_buckets)
+    keyed = (keyed.repartition(p, "__bucket", "__salt")
+             .sortWithinPartitions("__bucket", "__salt", *sort_keys))
+    data_cols = list(kinds)
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket, group_salt = int(key[0]), int(key[1])
-        sid = f"{bucket:08d}-{group_salt:06d}"
-        pdf = pdf.drop(columns=["__bucket", "__salt"])
-        return stripe_mod.encode_stripe(pdf, kinds, sid, bucket,
-                                        sort_keys=sort_keys,
-                                        force_codecs=force_codecs)
+    def encode_partition(batches):
+        import pyarrow as pa
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return
+        b = tbl.column("__bucket").to_numpy()
+        s = tbl.column("__salt").to_numpy()
+        import numpy as np
+        change = np.flatnonzero((np.diff(b) != 0) | (np.diff(s) != 0)) + 1
+        bounds = np.concatenate(([0], change, [len(b)]))
+        data = tbl.select(data_cols)
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            sid = f"{int(b[lo]):08d}-{int(s[lo]):06d}"
+            rows.extend(stripe_mod.encode_stripe_arrow(
+                data.slice(lo, hi - lo), kinds, sid, int(b[lo]),
+                force_codecs=force_codecs))
+        yield stripe_mod.stripe_rows_to_batch(rows)
 
-    return keyed.groupBy("__bucket", "__salt").applyInPandas(encode_group, STRIPE_SCHEMA)
+    return keyed.mapInArrow(encode_partition, STRIPE_SCHEMA)
 
 
 def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[T.StructType, list[str]]:
@@ -128,15 +165,40 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     elif columns is None:
         columns = [f.name for f in schema.fields]
     pruned = stripes.filter(F.col("col_name").isin(columns))
-    # dedupe defensively: a rerun that crashed between stripes-write and
-    # lineage-write may have appended identical stripe rows (they are
-    # byte-identical by determinism, so keeping either copy is safe)
-    pruned = pruned.dropDuplicates(["stripe_id", "col_name"])
+    # same AQE-coalescing consideration as the encode side: stripe rows are
+    # byte-light but expand ~10x on decode — pin a parallel task count. One
+    # shuffle; stripes arrive contiguous after the partition-local sort.
+    spark = stripes.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    pruned = (pruned.repartition(cores * 4, "stripe_id")
+              .sortWithinPartitions("stripe_id"))
 
-    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return stripe_mod.decode_stripe(pdf, columns=columns)
+    try:  # arrow schema of the decoded output (timestamps carry session tz)
+        from pyspark.sql.pandas.types import to_arrow_schema
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        target_schema = to_arrow_schema(schema, timezone=tz)
+    except TypeError:
+        target_schema = to_arrow_schema(schema)
 
-    return pruned.groupBy("stripe_id").applyInPandas(decode_group, schema)
+    def decode_partition(batches):
+        import pyarrow as pa
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return
+        ids = tbl.column("stripe_id").combine_chunks().dictionary_encode()
+        import numpy as np
+        codes = np.asarray(ids.indices)
+        change = np.flatnonzero(np.diff(codes) != 0) + 1
+        bounds = np.concatenate(([0], change, [len(codes)]))
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            rows = tbl.slice(lo, hi - lo).to_pylist()
+            yield stripe_mod.decode_stripe_arrow(rows, columns, target_schema)
+
+    return pruned.mapInArrow(decode_partition, schema)
 
 
 def build_manifest(stripes: DataFrame, key_col: str | None = None,

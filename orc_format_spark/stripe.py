@@ -69,27 +69,63 @@ def _values_and_mask(series: pd.Series, kind: str):
 
 def _raw_nbytes(vals, kind: str) -> int:
     if kind == "string":
-        return int(pa.array(vals, type=pa.large_utf8()).nbytes) if len(vals) else 0
+        if len(vals) == 0:
+            return 0
+        if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+            return int(vals.nbytes)
+        return int(pa.array(vals, type=pa.large_utf8()).nbytes)
     return int(np.asarray(vals).nbytes)
 
 
 def _checksum(vals, valid: np.ndarray, kind: str) -> str:
-    """crc32 over canonical value bytes + validity bitmap (lineage integrity)."""
+    """crc32 over canonical value bytes + validity bitmap (lineage integrity).
+
+    Strings are canonicalized as (utf8 blob, little-endian lengths) — the
+    same representation the direct codec uses — so the checksum is O(bytes)
+    with zero per-row Python."""
     crc = zlib.crc32(np.packbits(valid).tobytes())
     if kind == "string":
-        for s in vals:
-            crc = zlib.crc32(s.encode("utf-8"), crc)
-            crc = zlib.crc32(b"\x00", crc)
+        from .codecs import strings as _s
+        blob, lengths = _s.encode_direct(vals)
+        crc = zlib.crc32(blob, crc)
+        crc = zlib.crc32(lengths.astype("<u8").tobytes(), crc)
     else:
         crc = zlib.crc32(np.ascontiguousarray(vals).tobytes(), crc)
     return f"{crc:08x}"
 
 
-def encode_column(series: pd.Series, kind: str,
-                  force_codec: str | None = None) -> dict:
-    """Encode one column of one stripe; returns a stripe-column row dict."""
+def _values_and_mask_arrow(arr: pa.Array, kind: str):
+    """Arrow-native split into (non-null values, validity) — zero per-row
+    Python, no pandas object materialization (strings stay Arrow)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = np.asarray(arr.is_valid())
+    nn = arr.drop_null() if arr.null_count else arr
+    if kind in INT_KINDS:
+        vals = nn.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    elif kind == "timestamp":
+        vals = nn.cast(pa.int64()).to_numpy(zero_copy_only=False)  # epoch µs
+    elif kind == "date":
+        vals = nn.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+    elif kind in ("float32", "float64"):
+        vals = nn.to_numpy(zero_copy_only=False)
+    elif kind == "bool":
+        vals = nn.to_numpy(zero_copy_only=False)
+    elif kind == "string":
+        vals = nn  # Arrow array; string codecs consume it directly
+    else:
+        raise ValueError(kind)
+    return vals, valid
+
+
+def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
+    """Encode one column of one stripe; returns a stripe-column row dict.
+    Accepts a pandas Series or an Arrow (Chunked)Array."""
     n = len(series)
-    vals, valid = _values_and_mask(series, kind)
+    if isinstance(series, (pa.Array, pa.ChunkedArray)):
+        vals, valid = _values_and_mask_arrow(series, kind)
+    else:
+        vals, valid = _values_and_mask(series, kind)
     n_nulls = int(n - valid.sum())
     row = {
         "col_kind": kind, "n_rows": n, "n_nulls": n_nulls,
@@ -120,7 +156,13 @@ def encode_column(series: pd.Series, kind: str,
                    dict_data=enc["dict_data"], extra=enc["extra"], ndv=enc["ndv"])
         raw = _raw_nbytes(vals, kind)
         if len(vals):
-            row.update(min_val=str(min(vals))[:64], max_val=str(max(vals))[:64])
+            if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+                import pyarrow.compute as pc
+                mm = pc.min_max(vals).as_py()
+                lo, hi = mm["min"], mm["max"]
+            else:
+                lo, hi = min(vals), max(vals)
+            row.update(min_val=str(lo)[:64], max_val=str(hi)[:64])
     else:
         raise ValueError(kind)
     # generic block-compression layer on the big streams (is-original escape
@@ -232,3 +274,115 @@ def decode_stripe(stripe_rows: pd.DataFrame, columns: list[str] | None = None) -
         arr = decode_column(by_col[c])
         out[c] = arr.to_pandas() if isinstance(arr, pa.Array) else arr
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native stripe path (used by pipeline's mapInArrow jobs): strings
+# never materialize as Python objects, numerics never pass through pandas.
+# ---------------------------------------------------------------------------
+
+STRIPE_PA_SCHEMA = pa.schema([
+    ("stripe_id", pa.string()), ("bucket", pa.int64()), ("n_rows", pa.int64()),
+    ("col_name", pa.string()), ("col_kind", pa.string()),
+    ("codec", pa.string()), ("compression", pa.string()),
+    ("present", pa.binary()), ("data", pa.binary()), ("length", pa.binary()),
+    ("dict_data", pa.binary()), ("extra", pa.binary()),
+    ("n_nulls", pa.int64()), ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+    ("min_val", pa.string()), ("max_val", pa.string()), ("ndv", pa.int64()),
+    ("checksum", pa.string()),
+])
+
+
+def encode_stripe_arrow(tbl: pa.Table, kinds: dict[str, str], stripe_id: str,
+                        bucket: int,
+                        force_codecs: dict[str, str] | None = None) -> list[dict]:
+    """Encode one stripe from an Arrow table slice (already sorted)."""
+    force_codecs = force_codecs or {}
+    rows = []
+    for col, kind in kinds.items():
+        row = encode_column(tbl.column(col), kind, force_codec=force_codecs.get(col))
+        row.update(stripe_id=stripe_id, bucket=bucket, col_name=col)
+        rows.append(row)
+    return rows
+
+
+def stripe_rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
+    cols = {name: [r[name] for r in rows] for name in STRIPE_COLUMNS}
+    arrays = [pa.array(cols[f.name], type=f.type) for f in STRIPE_PA_SCHEMA]
+    return pa.RecordBatch.from_arrays(arrays, schema=STRIPE_PA_SCHEMA)
+
+
+def decode_stripe_arrow(rows: list[dict], columns: list[str],
+                        target_schema: pa.Schema) -> pa.RecordBatch:
+    """Decode one stripe's rows into an Arrow RecordBatch matching
+    ``target_schema`` (field order == ``columns``)."""
+    by_col = {}
+    for r in rows:  # defensive dedupe (byte-identical duplicates possible)
+        by_col.setdefault(r["col_name"], r)
+    arrays = []
+    for c, field in zip(columns, target_schema):
+        row = by_col[c]
+        kind = row["col_kind"]
+        dec = _decode_column_parts(row)
+        arrays.append(_to_arrow_array(dec, kind, field.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=target_schema)
+
+
+def _decode_column_parts(row: dict):
+    """decode_column, but returning (values, valid) without pandas."""
+    n = int(row["n_rows"])
+    n_nulls = int(row["n_nulls"])
+    kind = row["col_kind"]
+    comp, comp2 = (row["compression"] or "none|none").split("|")
+    data = deflate.decompress(row["data"]) if comp == "zlib" else row["data"]
+    dict_data = deflate.decompress(row["dict_data"]) if comp2 == "zlib" else row["dict_data"]
+    valid = (boolean_rle.decode_bools(row["present"], n) if n_nulls
+             else np.ones(n, dtype=bool))
+    n_valid = n - n_nulls
+    codec = row["codec"]
+    if kind in INT_KINDS or kind in ("timestamp", "date"):
+        vals = selector.decode_ints(codec, data, row["extra"], n_valid)
+    elif kind in ("float32", "float64"):
+        vals = floats.decode(data, n_valid, kind)
+    elif kind == "bool":
+        vals = boolean_rle.decode_bools(data, n_valid)
+    elif kind == "string":
+        arr = selector.decode_strings(codec, data, row["length"], dict_data,
+                                      row["extra"], n_valid, row["ndv"])
+        return arr, valid
+    else:
+        raise ValueError(kind)
+    return vals, valid
+
+
+def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
+    vals, valid = dec
+    n = len(valid)
+    n_valid = int(valid.sum())
+    if kind == "string":
+        if n_valid == n:
+            out = vals
+        else:
+            idx = np.zeros(n, dtype=np.int64)
+            idx[valid] = np.arange(n_valid)
+            out = vals.take(pa.array(idx, mask=~valid))
+        return out.cast(target_type)
+    # numeric/bool/temporal: scatter into a full-length buffer, mask nulls
+    if n_valid == n:
+        full = vals
+        mask = None
+    else:
+        full = np.zeros(n, dtype=vals.dtype if len(vals) else np.int64)
+        full[valid] = vals
+        mask = ~valid
+    if kind == "date":
+        src = np.asarray(full, dtype=np.int32)
+        return pa.array(src, mask=mask).cast(pa.date32()).cast(target_type)
+    if kind == "timestamp":
+        import pyarrow.compute as pc
+        base = pa.array(np.asarray(full, dtype=np.int64), mask=mask).cast(pa.timestamp("us"))
+        if pa.types.is_timestamp(target_type) and target_type.tz is not None:
+            base = pc.assume_timezone(base, "UTC")  # int64s are UTC instants
+        return base.cast(target_type)
+    arr = pa.array(np.asarray(full), mask=mask)
+    return arr.cast(target_type)
