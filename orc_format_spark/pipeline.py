@@ -81,7 +81,8 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
                      stripe_rows: int = DEFAULT_STRIPE_ROWS,
                      n_buckets: int | None = None,
                      n_rows: int | None = None,
-                     force_codecs: dict[str, str] | None = None) -> DataFrame:
+                     force_codecs: dict[str, str] | None = None,
+                     stripe_prefix: str = "") -> DataFrame:
     """Encode ``df`` into stripe-column rows (lazy; one shuffle).
 
     ``key_col`` groups related rows into the same stripe (conv_id);
@@ -127,7 +128,7 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
         rows = []
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
-            sid = f"{int(b[lo]):08d}-{int(s[lo]):06d}"
+            sid = f"{stripe_prefix}{int(b[lo]):08d}-{int(s[lo]):06d}"
             rows.extend(stripe_mod.encode_stripe_arrow(
                 data.slice(lo, hi - lo), kinds, sid, int(b[lo]),
                 force_codecs=force_codecs))

@@ -16,10 +16,14 @@ def get_spark(app: str = "orc-format-spark", master: str | None = None,
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     return (
         SparkSession.builder
         .appName(app)
         .master(master)
+        # shuffle files on tmpfs: shuffle I/O otherwise serializes on the
+        # (slow, shared) sandbox block device and caps scaling
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
