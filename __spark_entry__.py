@@ -73,6 +73,18 @@ def q_roundtrip_lineitem(spark, sf_dir):
     return _roundtrip(spark, df, "l_orderkey", ["l_orderkey", "l_linenumber"])
 
 
+def q_roundtrip_orders(spark, sf_dir):
+    _pin(spark)
+    df = _read(spark, sf_dir, "orders")
+    return _roundtrip(spark, df, "o_orderkey", ["o_orderkey"])
+
+
+def q_roundtrip_customer(spark, sf_dir):
+    _pin(spark)
+    df = _read(spark, sf_dir, "customer")
+    return _roundtrip(spark, df, "c_custkey", ["c_custkey"])
+
+
 def q_rle_delta_event_id(spark, sf_dir):
     """Sorted unique int64 -> RLEv2 delta path."""
     _pin(spark)
@@ -212,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_lineitem": q_roundtrip_lineitem,
+        "roundtrip_orders": q_roundtrip_orders,
+        "roundtrip_customer": q_roundtrip_customer,
         "rle_delta_event_id": q_rle_delta_event_id,
         "dict_event_type": q_dict_event_type,
         "fsst_doc_text": q_fsst_doc_text,
@@ -239,6 +253,12 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem":
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
             "l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+        "roundtrip_orders":
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+            "o_orderdate, o_orderpriority FROM orders",
+        "roundtrip_customer":
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer",
         "rle_delta_event_id": "SELECT event_id FROM events",
         "dict_event_type": "SELECT event_id, event_type FROM events",
         "fsst_doc_text": "SELECT doc_id, text FROM documents",
