@@ -34,7 +34,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # transcripts scale: chosen so bench turns ~ sf0.1 lineitem rows (~600k)
 # with avg ~70 turns/conversation (heavy Zipf tail, FIXTURES.md)
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8500"))
-SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "20000"))
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "12000"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
 STRIPE_ROWS = int(os.environ.get("SPARK_GRAFT_STRIPE_ROWS", "8192"))
 TMP = os.path.join(REPO, ".bench_tmp")
 
@@ -117,7 +118,7 @@ def _run_worker(master: str, data: str, burners: int = 0) -> dict:
             p.kill()
 
 
-def run_scaling(repeats: int = 2) -> dict:
+def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
     """Same encode job, same input, at N and 4N cores in separate JVMs
     (the sandbox stand-in for N vs 4N executors — see BENCH.md).
 
@@ -186,6 +187,8 @@ def main() -> None:
     df.cache()
     n_turns = df.count()
     gen_sec = time.perf_counter() - t0
+
+    _encode_once(spark, df.limit(30_000))  # warm Python workers (see worker())
 
     t0 = time.perf_counter()
     enc_stats = _encode_once(spark, df)
