@@ -118,6 +118,20 @@ def q_present_null_tool(spark, sf_dir):
     return _roundtrip(spark, df, "event_id", ["event_id"])
 
 
+def q_pruned_decode(spark, sf_dir):
+    """Column-pruned decode: encode ALL events columns, decode only two —
+    the col_name filter is pushed into the stripes scan (projection
+    pushdown, the read_stripe_column analog)."""
+    _pin(spark)
+    df = _read(spark, sf_dir, "events")
+    stripes = pipeline.encode_dataframe(df, "event_id", None,
+                                        sort_keys=["event_id"], stripe_rows=8192)
+    import pyspark.sql.types as T
+    schema = T.StructType([df.schema["event_id"], df.schema["event_type"]])
+    return pipeline.decode_dataframe(stripes, columns=["event_id", "event_type"],
+                                     schema=schema)
+
+
 def q_codec_selection(spark, sf_dir):
     """Per-column chosen codec + sizes over events (engine metadata;
     rows-only check — depends on our codec inventory, not SQL)."""
@@ -230,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_event_type": q_dict_event_type,
         "fsst_doc_text": q_fsst_doc_text,
         "present_null_tool": q_present_null_tool,
+        "pruned_decode": q_pruned_decode,
         "codec_selection": q_codec_selection,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -265,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "present_null_tool":
             "SELECT event_id, CASE WHEN value < 0.5 THEN event_type END AS tool "
             "FROM events",
+        "pruned_decode": "SELECT event_id, event_type FROM events",
         "dedup_exact":
             "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text",

@@ -32,12 +32,21 @@ def encode_ints(vals: np.ndarray) -> tuple[str, bytes, bytes]:
     """Pick 'rle_v2' (signed, incl. patched-base) vs 'for' (frame-of-reference:
     min subtracted, unsigned RLE v2, min as signed varint in extra).
 
-    Returns (codec, data, extra).
+    The FOR trial only runs when it can actually narrow the bit width:
+    zigzag width of the raw values vs width of (max-min). Returns
+    (codec, data, extra).
     """
     v = vals.astype(np.int64, copy=False)
+    if len(v) == 0:
+        return "rle_v2", rle_v2.encode(v, signed=True), b""
+    lo, hi = int(v.min()), int(v.max())
+    try_for = False
+    if lo != 0 and (hi - lo) < (1 << 63):
+        zig_bits = max(abs(lo), abs(hi), 1).bit_length() + 1
+        red_bits = max(hi - lo, 1).bit_length()
+        try_for = zig_bits > red_bits + 1
     enc_plain = rle_v2.encode(v, signed=True)
-    lo = int(v.min()) if len(v) else 0
-    if len(v) and lo != 0 and (int(v.max()) - lo) < (1 << 63):
+    if try_for:
         reduced = (v - lo).astype(np.uint64)
         enc_for = rle_v2.encode(reduced, signed=False)
         extra = varint.encode_signed(lo)
@@ -53,12 +62,17 @@ def decode_ints(codec: str, data: bytes, extra: bytes, n: int) -> np.ndarray:
     return rle_v2.decode(data, n, signed=True)
 
 
-def _fsst_estimate(blob: bytes) -> float:
-    """Estimated FSST compressed size from a bounded-sample trial."""
-    sample = blob[:FSST_SAMPLE]
-    enc = fsst.encode(sample)
+def _fsst_trial(blob: bytes):
+    """One symbol-table build on the full blob's sample + a sample-encode
+    size estimate. The table is REUSED for the full encode when FSST wins
+    (half the table-build cost per stripe)."""
+    data = np.frombuffer(blob, dtype=np.uint8)
+    table = fsst.build_table(data)
+    sample = data[:FSST_SAMPLE]
+    enc = fsst._greedy_encode(sample, table)
+    header = len(table.serialize())
     ratio = len(enc) / max(len(sample), 1)
-    return ratio * len(blob) + 16
+    return table, ratio * len(blob) + header
 
 
 def encode_strings(values, force_codec: str | None = None) -> dict:
@@ -86,7 +100,10 @@ def encode_strings(values, force_codec: str | None = None) -> dict:
             dict_size = len(dblob) + len(dlen_stream) + len(code_stream)
 
     if force_codec == "str_fsst":
-        out.update(codec="str_fsst", data=fsst.encode(blob),
+        table, _ = _fsst_trial(blob)
+        data = table.serialize() + fsst._greedy_encode(
+            np.frombuffer(blob, dtype=np.uint8), table).tobytes()
+        out.update(codec="str_fsst", data=data,
                    extra=varint.encode_unsigned(len(blob)))
         return out
     if force_codec == "str_dict" and dict_parts is not None:
@@ -103,11 +120,15 @@ def encode_strings(values, force_codec: str | None = None) -> dict:
     # big (dict on low-NDV columns reaches sizes FSST cannot touch)
     fsst_worthwhile = (len(blob) >= 4096
                        and dict_size > max(len(blob) * 0.30, 512))
-    fsst_size = _fsst_estimate(blob) if fsst_worthwhile else float("inf")
+    fsst_table = None
+    fsst_size = float("inf")
+    if fsst_worthwhile:
+        fsst_table, fsst_size = _fsst_trial(blob)
 
     best = min(direct_size, dict_size, fsst_size)
     if best == fsst_size:
-        data = fsst.encode(blob)
+        data = fsst_table.serialize() + fsst._greedy_encode(
+            np.frombuffer(blob, dtype=np.uint8), fsst_table).tobytes()
         # estimate can be off — fall back if the full encode didn't win
         if len(data) + len(len_stream) < min(direct_size, dict_size):
             out.update(codec="str_fsst", data=data,
