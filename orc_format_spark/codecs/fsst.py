@@ -84,7 +84,10 @@ class SymbolTable:
                 pairs.sort()
                 keys = np.array([p[0] for p in pairs], dtype=np.uint64)
                 codes = np.array([p[1] for p in pairs], dtype=np.int64)
-                self._by_len[L] = (keys, codes)
+                # first-byte filter: cheap pre-screen before searchsorted
+                lut = np.zeros(256, dtype=bool)
+                lut[(keys >> np.uint64((L - 1) * 8)).astype(np.int64)] = True
+                self._by_len[L] = (keys, codes, lut)
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -119,20 +122,27 @@ class SymbolTable:
         g = _GramKeys(data)._key8  # owned buffer, shifted in place below
         cur_shift = 0
         for L in sorted(self._by_len, reverse=True):  # longest first
-            keys, codes = self._by_len[L]
+            keys, codes, lut = self._by_len[L]
             want = (8 - L) * 8
             if want != cur_shift:
                 g >>= np.uint64(want - cur_shift)
                 cur_shift = want
             m = n - L + 1
-            grams = g[:m]
+            # pre-screen: position can only match if its first byte starts
+            # some length-L symbol AND no longer match claimed it
+            cand = lut[data[:m]]
+            if L < 8:
+                cand &= best_len[:m] == 0
+            pos = np.flatnonzero(cand)
+            if len(pos) == 0:
+                continue
+            grams = g[pos]
             idx = np.searchsorted(keys, grams)
             np.minimum(idx, len(keys) - 1, out=idx)
             hit = keys[idx] == grams
-            if L < 8:
-                hit &= best_len[:m] == 0  # longer match already claimed
-            best_len[:m][hit] = L
-            best_code[:m][hit] = codes[idx[hit]]
+            hp = pos[hit]
+            best_len[hp] = L
+            best_code[hp] = codes[idx[hit]]
         return best_len, best_code
 
 
