@@ -85,6 +85,15 @@ def q_roundtrip_customer(spark, sf_dir):
     return _roundtrip(spark, df, "c_custkey", ["c_custkey"])
 
 
+def q_roundtrip_embeddings(spark, sf_dir):
+    """array<float> embedding columns through the codec engine (rows-only:
+    float-list value hashing differs across engines; exact equality is
+    pinned by tests/test_types_arrow.py::test_embeddings_array_roundtrip)."""
+    _pin(spark)
+    df = _read(spark, sf_dir, "embeddings")
+    return _roundtrip(spark, df, "vec_id", ["vec_id"])
+
+
 def q_rle_delta_event_id(spark, sf_dir):
     """Sorted unique int64 -> RLEv2 delta path."""
     _pin(spark)
@@ -240,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem": q_roundtrip_lineitem,
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_customer": q_roundtrip_customer,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
         "rle_delta_event_id": q_rle_delta_event_id,
         "dict_event_type": q_dict_event_type,
         "fsst_doc_text": q_fsst_doc_text,

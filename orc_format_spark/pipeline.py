@@ -145,6 +145,8 @@ def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[
         "int64": T.LongType(), "float32": T.FloatType(), "float64": T.DoubleType(),
         "bool": T.BooleanType(), "string": T.StringType(),
         "timestamp": T.TimestampType(), "date": T.DateType(),
+        "array_float32": T.ArrayType(T.FloatType()),
+        "array_float64": T.ArrayType(T.DoubleType()),
     }
     by_name = {r["col_name"]: r["col_kind"] for r in pairs}
     cols = columns or sorted(by_name)

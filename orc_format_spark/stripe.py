@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from . import selector
-from .codecs import boolean_rle, deflate, floats
+from .codecs import boolean_rle, deflate, floats, rle_v2
 
 # stripe-column row fields (keep in sync with pipeline.STRIPE_SCHEMA)
 STRIPE_COLUMNS = [
@@ -38,6 +38,7 @@ def spark_kind(dtype_str: str) -> str:
         "float": "float32", "double": "float64", "boolean": "bool",
         "string": "string", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
         "date": "date",
+        "array<float>": "array_float32", "array<double>": "array_float64",
     }
     if dtype_str not in m:
         raise ValueError(f"unsupported column type: {dtype_str}")
@@ -89,6 +90,9 @@ def _checksum(vals, valid: np.ndarray, kind: str) -> str:
         blob, lengths = _s.encode_direct(vals)
         crc = zlib.crc32(blob, crc)
         crc = zlib.crc32(lengths.astype("<u8").tobytes(), crc)
+    elif isinstance(vals, tuple):  # list column: (flat values, lengths)
+        crc = zlib.crc32(np.ascontiguousarray(vals[0]).tobytes(), crc)
+        crc = zlib.crc32(vals[1].astype("<u8").tobytes(), crc)
     else:
         crc = zlib.crc32(np.ascontiguousarray(vals).tobytes(), crc)
     return f"{crc:08x}"
@@ -113,6 +117,13 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
         vals = nn.to_numpy(zero_copy_only=False)
     elif kind == "string":
         vals = nn  # Arrow array; string codecs consume it directly
+    elif kind.startswith("array_float"):
+        # embedding columns: (flat values, per-row lengths) — the ORC
+        # List layout (Length stream + child Data stream)
+        import pyarrow.compute as pc
+        lengths = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.uint64)
+        flat = nn.flatten().to_numpy(zero_copy_only=False)
+        vals = (flat, lengths)
     else:
         raise ValueError(kind)
     return vals, valid
@@ -122,6 +133,8 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
     """Encode one column of one stripe; returns a stripe-column row dict.
     Accepts a pandas Series or an Arrow (Chunked)Array."""
     n = len(series)
+    if kind.startswith("array_") and not isinstance(series, (pa.Array, pa.ChunkedArray)):
+        series = pa.Array.from_pandas(series)
     if isinstance(series, (pa.Array, pa.ChunkedArray)):
         vals, valid = _values_and_mask_arrow(series, kind)
     else:
@@ -163,6 +176,12 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
             else:
                 lo, hi = min(vals), max(vals)
             row.update(min_val=str(lo)[:64], max_val=str(hi)[:64])
+    elif kind.startswith("array_float"):
+        flat, lengths = vals
+        fdtype = "float32" if kind.endswith("32") else "float64"
+        row.update(codec="float_list", data=floats.encode(flat, fdtype),
+                   length=rle_v2.encode(lengths, signed=False))
+        raw = int(flat.nbytes) + 8 * len(lengths)
     else:
         raise ValueError(kind)
     # generic block-compression layer on the big streams (is-original escape
@@ -183,6 +202,9 @@ def decode_column(row: dict) -> pa.Array | np.ndarray:
     n = int(row["n_rows"])
     n_nulls = int(row["n_nulls"])
     kind = row["col_kind"]
+    if kind.startswith("array_float"):
+        t = pa.list_(pa.float32() if kind.endswith("32") else pa.float64())
+        return _to_arrow_array(_decode_column_parts(row), kind, t)
     comp, comp2 = (row["compression"] or "none|none").split("|")
     data = deflate.decompress(row["data"]) if comp == "zlib" else row["data"]
     dict_data = deflate.decompress(row["dict_data"]) if comp2 == "zlib" else row["dict_data"]
@@ -350,6 +372,11 @@ def _decode_column_parts(row: dict):
         arr = selector.decode_strings(codec, data, row["length"], dict_data,
                                       row["extra"], n_valid, row["ndv"])
         return arr, valid
+    elif kind.startswith("array_float"):
+        fdtype = "float32" if kind.endswith("32") else "float64"
+        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
+        flat = floats.decode(data, int(lengths.sum()), fdtype)
+        return (flat, lengths), valid
     else:
         raise ValueError(kind)
     return vals, valid
@@ -359,6 +386,17 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
     vals, valid = dec
     n = len(valid)
     n_valid = int(valid.sum())
+    if kind.startswith("array_float"):
+        flat, lengths = vals
+        offsets = np.zeros(n_valid + 1, dtype=np.int32)
+        np.cumsum(lengths.astype(np.int32), out=offsets[1:])
+        child = pa.array(flat)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
+        if n_valid != n:
+            idx = np.zeros(n, dtype=np.int64)
+            idx[valid] = np.arange(n_valid)
+            lists = lists.take(pa.array(idx, mask=~valid))
+        return lists.cast(target_type)
     if kind == "string":
         if n_valid == n:
             out = vals

@@ -71,3 +71,18 @@ def test_single_exchange_in_encode_plan(spark, mixed_df):
     plan = stripes._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, f"too many shuffles in encode plan:\n{plan[:2000]}"
+
+
+def test_embeddings_array_roundtrip(spark):
+    """array<float> columns (embeddings) through the full Spark pipeline."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stripes = pipeline.encode_dataframe(emb, "vec_id", None, sort_keys=["vec_id"],
+                                        stripe_rows=200)
+    got = (pipeline.decode_dataframe(stripes, columns=emb.columns, schema=emb.schema)
+           .orderBy("vec_id").toPandas())
+    exp = emb.orderBy("vec_id").toPandas()
+    assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+    assert got["label"].tolist() == exp["label"].tolist()
+    for a, b in zip(exp["embedding"], got["embedding"]):
+        assert np.array_equal(np.asarray(a, dtype=np.float32),
+                              np.asarray(b, dtype=np.float32))
