@@ -155,6 +155,18 @@ def q_codec_selection(spark, sf_dir):
             .orderBy("col_name", "codec"))
 
 
+def q_events_rollup(spark, sf_dir):
+    """Batch analog of the streaming conversation rollup (grouped exact
+    aggregates; float sums avoided for cross-engine determinism)."""
+    _pin(spark)
+    df = _read(spark, sf_dir, "events")
+    return (df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("event_type").alias("n_event_types")))
+
+
 def q_dedup_exact(spark, sf_dir):
     _pin(spark)
     df = _read(spark, sf_dir, "documents")
@@ -256,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "present_null_tool": q_present_null_tool,
         "pruned_decode": q_pruned_decode,
         "codec_selection": q_codec_selection,
+        "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "dedup_minhash": q_dedup_minhash,
@@ -291,6 +304,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CASE WHEN value < 0.5 THEN event_type END AS tool "
             "FROM events",
         "pruned_decode": "SELECT event_id, event_type FROM events",
+        "events_rollup":
+            "SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, "
+            "MAX(ts) AS last_ts, COUNT(DISTINCT event_type) AS n_event_types "
+            "FROM events GROUP BY user_id",
         "dedup_exact":
             "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY text",

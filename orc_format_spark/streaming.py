@@ -57,3 +57,44 @@ def read_transcripts_stream(spark: SparkSession, input_dir: str,
     return (spark.readStream.schema(SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(input_dir))
+
+
+ROLLUP_SCHEMA = ("conv_id string, n_turns long, n_chars long, "
+                 "first_ts timestamp, last_ts timestamp, n_tool_calls long")
+_STATE_SCHEMA = "n_turns long, n_chars long, first_us long, last_us long, n_tool long"
+
+
+def conversation_rollup(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-conversation running rollup — turn count, char count, first/last
+    timestamp, tool-call count — maintained across micro-batches and emitted
+    on every update. The hypertable-rollup analog for transcripts; state is
+    O(1) per conversation regardless of turn count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        if state.exists:
+            n_turns, n_chars, first_us, last_us, n_tool = state.get
+        else:
+            n_turns = n_chars = n_tool = 0
+            first_us, last_us = None, None
+        for pdf in pdf_iter:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].str.len().fillna(0).sum())
+            n_tool += int(pdf["tool"].notna().sum())
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n_turns, n_chars, first_us, last_us, n_tool))
+        yield pd.DataFrame({
+            "conv_id": [key[0]], "n_turns": [n_turns], "n_chars": [n_chars],
+            "first_ts": pd.to_datetime([first_us], unit="us"),
+            "last_ts": pd.to_datetime([last_us], unit="us"),
+            "n_tool_calls": [n_tool],
+        })
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        update, ROLLUP_SCHEMA, _STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)

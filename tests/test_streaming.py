@@ -33,3 +33,36 @@ def test_stream_encode_roundtrip(spark, tmp_path):
                                   check_dtype=False)
     n_rows = df.count()
     assert lineage.agg(F.sum("n_rows")).collect()[0][0] == n_rows
+
+
+def test_stateful_conversation_rollup(spark, tmp_path):
+    """applyInPandasWithState rollup: the last emitted row per conversation
+    must equal the batch aggregate over all turns."""
+    from pyspark.sql import functions as F2
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    df = transcripts.generate(spark, n_convs=30, seed=9)
+    df.repartition(5).write.parquet(src)
+
+    stream = streaming.read_transcripts_stream(spark, src, max_files_per_trigger=2)
+    rollup = streaming.conversation_rollup(stream)
+    q = (rollup.writeStream.format("memory").queryName("rollup")
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = (spark.table("rollup").toPandas()
+           .sort_values(["conv_id", "n_turns"])  # last update = max n_turns
+           .groupby("conv_id").last().reset_index())
+    exp = (df.groupBy("conv_id").agg(
+        F2.count("*").alias("n_turns"),
+        F2.sum(F2.length("text")).alias("n_chars"),
+        F2.min("ts").alias("first_ts"), F2.max("ts").alias("last_ts"),
+        F2.sum(F2.when(F2.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_calls"),
+    ).orderBy("conv_id").toPandas())
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["n_turns"].tolist() == exp["n_turns"].tolist()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+    assert got["n_tool_calls"].tolist() == exp["n_tool_calls"].tolist()
+    assert (got["last_ts"].astype("datetime64[us]").tolist()
+            == exp["last_ts"].astype("datetime64[us]").tolist())
