@@ -184,11 +184,9 @@ def _plan_patched(v: np.ndarray, signed: bool):
     patch_vals = np.array(patch_list, dtype=np.uint64)
     pw = bitpack.round_width(bitpack.bits_needed(int(patch_vals.max())))
     pgw = max(int(gaps.max()).bit_length(), 1)
-    if pgw > 8:
+    if pgw > 8 or pgw + pw > 64:  # combined gap+patch must fit one unit
         return None
     entry_width = bitpack.round_width(pgw + pw)
-    if entry_width > 64:
-        return None
     mag = abs(base)
     bw = max((mag.bit_length() + 1 + 7) // 8, 1)  # +1 sign bit
     if bw > 8:
