@@ -40,25 +40,34 @@ def encode_ints(vals: np.ndarray) -> tuple[str, bytes, bytes]:
     if len(v) == 0:
         return "rle_v2", rle_v2.encode(v, signed=True), b""
     lo, hi = int(v.min()), int(v.max())
-    try_for = False
-    if lo != 0 and (hi - lo) < (1 << 63):
+    candidates: list[tuple[str, bytes, bytes]] = []
+    if 0 < (hi - lo) < (1 << 62):
+        reduced = (v - lo).astype(np.uint64)
+        # scale extraction: µs timestamps are usually whole ms/s — dividing
+        # by the GCD of the offsets shrinks every delta/direct width
+        g = int(np.gcd.reduce(reduced)) if len(reduced) > 1 else 1
+        if g > 1:
+            enc = rle_v2.encode(reduced // np.uint64(g), signed=False)
+            extra = varint.encode_signed(lo) + varint.encode_unsigned(g)
+            candidates.append(("for_scale", enc, extra))
         zig_bits = max(abs(lo), abs(hi), 1).bit_length() + 1
         red_bits = max(hi - lo, 1).bit_length()
-        try_for = zig_bits > red_bits + 1
-    enc_plain = rle_v2.encode(v, signed=True)
-    if try_for:
-        reduced = (v - lo).astype(np.uint64)
-        enc_for = rle_v2.encode(reduced, signed=False)
-        extra = varint.encode_signed(lo)
-        if len(enc_for) + len(extra) < len(enc_plain):
-            return "for", enc_for, extra
-    return "rle_v2", enc_plain, b""
+        if lo != 0 and zig_bits > red_bits + 1:
+            candidates.append(("for", rle_v2.encode(reduced, signed=False),
+                               varint.encode_signed(lo)))
+    candidates.append(("rle_v2", rle_v2.encode(v, signed=True), b""))
+    return min(candidates, key=lambda c: len(c[1]) + len(c[2]))
 
 
 def decode_ints(codec: str, data: bytes, extra: bytes, n: int) -> np.ndarray:
     if codec == "for":
         lo, _ = varint.decode_signed(extra, 0)
         return (rle_v2.decode(data, n, signed=False).view(np.int64) + np.int64(lo))
+    if codec == "for_scale":
+        lo, pos = varint.decode_signed(extra, 0)
+        g, _ = varint.decode_unsigned(extra, pos)
+        scaled = rle_v2.decode(data, n, signed=False)
+        return (scaled * np.uint64(g)).view(np.int64) + np.int64(lo)
     return rle_v2.decode(data, n, signed=True)
 
 

@@ -44,14 +44,14 @@ FAMILIES = [
     ("str_delta_plus", ["a", "bb", None, "ccc", "ddd"], "string", None),
     ("str_delta_minus", ["ddd", "cc", None, "bb", "a"], "string", None),
     ("str_short_repeat", ["aaaaa", "bbbbb", None, "ccccc", "ddddd"], "string", None),
-    ("int_short_repeated", [5, 5, None, 5, 5], "int32", {"rle_v2", "for"}),
-    ("int_neg_short_repeated", [-5, -5, None, -5, -5], "int32", {"rle_v2", "for"}),
-    ("int_delta", [1, 2, None, 4, 5], "int32", {"rle_v2", "for"}),
-    ("int_neg_delta", [5, 4, None, 2, 1], "int32", {"rle_v2", "for"}),
-    ("int_direct", [1, 6, None, 3, 2], "int32", {"rle_v2", "for"}),
-    ("int_neg_direct", [-1, -6, None, -3, -2], "int32", {"rle_v2", "for"}),
-    ("bigint_direct", [1, 6, None, 3, 2], "int64", {"rle_v2", "for"}),
-    ("bigint_neg_direct", [-1, -6, None, -3, -2], "int64", {"rle_v2", "for"}),
+    ("int_short_repeated", [5, 5, None, 5, 5], "int32", {"rle_v2", "for", "for_scale"}),
+    ("int_neg_short_repeated", [-5, -5, None, -5, -5], "int32", {"rle_v2", "for", "for_scale"}),
+    ("int_delta", [1, 2, None, 4, 5], "int32", {"rle_v2", "for", "for_scale"}),
+    ("int_neg_delta", [5, 4, None, 2, 1], "int32", {"rle_v2", "for", "for_scale"}),
+    ("int_direct", [1, 6, None, 3, 2], "int32", {"rle_v2", "for", "for_scale"}),
+    ("int_neg_direct", [-1, -6, None, -3, -2], "int32", {"rle_v2", "for", "for_scale"}),
+    ("bigint_direct", [1, 6, None, 3, 2], "int64", {"rle_v2", "for", "for_scale"}),
+    ("bigint_neg_direct", [-1, -6, None, -3, -2], "int64", {"rle_v2", "for", "for_scale"}),
     ("bigint_other", [5, -5, 1, 5, 5], "int64", {"rle_v2"}),
     ("utf8_increase", ["a", "bb", "ccc", "dddd", "eeeee"], "string", None),
     ("utf8_decrease", ["eeeee", "dddd", "ccc", "bb", "a"], "string", None),
@@ -88,7 +88,7 @@ def test_timestamp_roundtrip_microsecond_precision():
     s = pd.Series(us.astype("datetime64[us]"))
     row, got = roundtrip(s, "timestamp")
     assert (got.to_numpy().astype("datetime64[us]") == s.to_numpy()).all()
-    assert row["codec"] in ("rle_v2", "for")
+    assert row["codec"] in ("rle_v2", "for", "for_scale")
 
 
 def test_timestamp_with_nulls():

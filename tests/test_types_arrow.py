@@ -58,8 +58,8 @@ def test_codecs_recorded_for_each_type(spark, mixed_df):
                                         stripe_rows=500)
     tags = {r["col_name"]: r["codec"]
             for r in stripes.select("col_name", "codec").distinct().collect()}
-    assert tags["k"] in ("rle_v2", "for")
-    assert tags["d"] in ("rle_v2", "for")
+    assert tags["k"] in ("rle_v2", "for", "for_scale")
+    assert tags["d"] in ("rle_v2", "for", "for_scale")
     assert tags["f32"] == "float_raw"
     assert tags["b"] == "bool_rle"
 
