@@ -35,7 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # with avg ~70 turns/conversation (heavy Zipf tail, FIXTURES.md)
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8500"))
 SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "12000"))
-SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 STRIPE_ROWS = int(os.environ.get("SPARK_GRAFT_STRIPE_ROWS", "8192"))
 TMP = os.path.join(REPO, ".bench_tmp")
 
@@ -86,9 +86,11 @@ def _wait_idle(max_load: float = 3.0, timeout: float = 90.0) -> None:
         time.sleep(5)
 
 
+# burner working set must hit DRAM (not L3) to replicate the real job's
+# per-core memory pressure: 8M u64 = 64 MB per pass
 _BURNER = r'''
 import numpy as np
-a = np.random.default_rng(0).integers(0, 255, 500_000).astype(np.uint64)
+a = np.random.default_rng(0).integers(0, 255, 8_000_000).astype(np.uint64)
 keys = np.arange(0, 2**60, 2**50, dtype=np.uint64)
 while True:
     k = np.zeros(len(a), dtype=np.uint64)
