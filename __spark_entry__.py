@@ -86,12 +86,16 @@ def q_roundtrip_customer(spark, sf_dir):
 
 
 def q_roundtrip_embeddings(spark, sf_dir):
-    """array<float> embedding columns through the codec engine (rows-only:
-    float-list value hashing differs across engines; exact equality is
-    pinned by tests/test_types_arrow.py::test_embeddings_array_roundtrip)."""
+    """array<float> embeddings through the codec engine (float_list codec:
+    Length stream + flat float Data stream), returned as an
+    oracle-comparable (vec_id, pos, val) projection — posexplode makes every
+    element's value AND position checkable against DuckDB's unnest.
+    float->double casts are exact, so hash equality is bit equality."""
     _pin(spark)
     df = _read(spark, sf_dir, "embeddings")
-    return _roundtrip(spark, df, "vec_id", ["vec_id"])
+    rt = _roundtrip(spark, df, "vec_id", ["vec_id"])
+    return (rt.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+            .select("vec_id", "pos", F.col("val").cast("double").alias("val")))
 
 
 def q_rle_delta_event_id(spark, sf_dir):
@@ -297,6 +301,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_customer":
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
             "FROM customer",
+        "roundtrip_embeddings":
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) "
+            "AS pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings",
         "rle_delta_event_id": "SELECT event_id FROM events",
         "dict_event_type": "SELECT event_id, event_type FROM events",
         "fsst_doc_text": "SELECT doc_id, text FROM documents",

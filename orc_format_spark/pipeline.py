@@ -76,6 +76,39 @@ def column_kinds(df: DataFrame) -> dict[str, str]:
             for f in df.schema.fields}
 
 
+def _estimate_rows(df: DataFrame) -> int | None:
+    """Row count from parquet FOOTERS when ``df`` is file-backed — metadata
+    only, no data scan (kills the count() pre-pass the encode job used to
+    pay; at 100 TB that pre-pass is an extra full read). Exact when all
+    footers are read; with many files, samples 64 footers and extrapolates
+    by byte size (n_buckets only needs order-of-magnitude accuracy).
+    Returns None when the plan has no file sources (caller falls back)."""
+    import os
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    paths = []
+    for f in files:
+        if ".parquet" not in f:
+            return None
+        paths.append(f[7:] if f.startswith("file://") else
+                     f[5:] if f.startswith("file:") else f)
+    if not paths:
+        return None
+    import pyarrow.parquet as pq
+    try:
+        if len(paths) <= 64:
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        sizes = {p: os.path.getsize(p) for p in paths}
+        sample = sorted(paths)[:: max(len(paths) // 64, 1)][:64]
+        srows = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
+        sbytes = sum(sizes[p] for p in sample) or 1
+        return int(srows / sbytes * sum(sizes.values()))
+    except Exception:
+        return None
+
+
 def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
                      sort_keys: list[str] | None = None,
                      stripe_rows: int = DEFAULT_STRIPE_ROWS,
@@ -94,7 +127,9 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
     sort_keys = sort_keys or [k for k in (key_col, order_col) if k]
     if n_buckets is None:
         if n_rows is None:
-            n_rows = df.count()
+            n_rows = _estimate_rows(df)  # parquet footers: no data scan
+        if n_rows is None:
+            n_rows = df.count()  # non-file source (e.g. generated): one job
         n_buckets = max((n_rows + stripe_rows - 1) // stripe_rows, 1)
 
     salt = (F.floor(F.col(order_col) / F.lit(stripe_rows)).cast("long")
@@ -232,12 +267,18 @@ def build_manifest(stripes: DataFrame, key_col: str | None = None,
 # ---------------------------------------------------------------------------
 
 
-def _lineage_from_manifest(manifest: DataFrame, run_id: str) -> DataFrame:
+def _lineage_from_manifest(manifest: DataFrame, run_id: str,
+                           params: dict | None = None) -> DataFrame:
+    params = params or {}
     return manifest.select(
         "stripe_id", "bucket", "n_rows", "raw_bytes", "enc_bytes", "n_cols",
         "codecs", "checksum",
         F.lit("ok").alias("status"), F.lit(run_id).alias("run_id"),
         F.current_timestamp().alias("committed_at"),
+        F.lit(params.get("n_buckets")).cast("long").alias("p_n_buckets"),
+        F.lit(params.get("stripe_rows")).cast("long").alias("p_stripe_rows"),
+        F.lit(params.get("key_col")).cast("string").alias("p_key_col"),
+        F.lit(params.get("order_col")).cast("string").alias("p_order_col"),
     )
 
 
@@ -250,20 +291,69 @@ def completed_stripes(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return lineage.filter(F.col("status") == "ok").select("stripe_id").distinct()
 
 
+def _check_resume_params(spark: SparkSession, out_dir: str,
+                         params: dict) -> None:
+    """Fail fast when resuming into an out_dir that was written with
+    different partitioning parameters: stripe ids are a pure function of
+    (input, n_buckets, stripe_rows), so a silent param change would pass the
+    lineage anti-join and append a disjoint second copy of the data."""
+    try:
+        row = spark.read.parquet(f"{out_dir}/lineage").select(
+            "p_n_buckets", "p_stripe_rows", "p_key_col").first()
+    except Exception:
+        return
+    if row is None or row["p_n_buckets"] is None:
+        return  # pre-param lineage (or empty): nothing to check against
+    for have, want, name in (
+            (row["p_n_buckets"], params.get("n_buckets"), "n_buckets"),
+            (row["p_stripe_rows"], params.get("stripe_rows"), "stripe_rows"),
+            (row["p_key_col"], params.get("key_col"), "key_col")):
+        if want is not None and have is not None and have != want:
+            raise ValueError(
+                f"resume into {out_dir} with mismatched {name}: "
+                f"lineage has {have!r}, job has {want!r} — stripe ids would "
+                "not line up and data would be silently duplicated")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The manifest with crash-window duplicates collapsed: a rerun that
+    died between the manifest append and the lineage append re-appends the
+    same manifest rows; dedupe by stripe_id so stats never double-count."""
+    return (spark.read.parquet(f"{out_dir}/manifest")
+            .dropDuplicates(["stripe_id"]))
+
+
 def commit(spark: SparkSession, stripes: DataFrame, out_dir: str,
            key_col: str, order_col: str | None, run_id: str,
-           done: DataFrame | None = None) -> None:
-    """Two-phase commit of a batch of stripes: append stripe rows first,
-    then derive + append manifest and lineage from the WRITTEN bytes (so a
-    crash between the phases leaves re-encodable, deduplicatable stripes
-    rather than lineage rows pointing at missing data)."""
-    stripes.write.mode("append").parquet(f"{out_dir}/stripes")
-    written = spark.read.parquet(f"{out_dir}/stripes")
-    if done is not None:
-        written = written.join(F.broadcast(done), "stripe_id", "left_anti")
+           params: dict | None = None) -> None:
+    """Two-phase commit of ONE batch of stripes: append the batch's rows
+    into a run-scoped partition (``stripes/run=<run_id>``), then derive +
+    append manifest and lineage from ONLY that run's written bytes.
+
+    Commit cost is O(batch), never O(table) — the streaming path calls this
+    per micro-batch, and re-reading the whole stripes table per batch would
+    grow without bound. Crash-window replays (same run_id appending
+    byte-identical rows twice) are collapsed by the stripe-level
+    dropDuplicates before stats are aggregated, so manifest raw/enc byte
+    counts and checksums are invariant to replayed appends."""
+    run_dir = f"{out_dir}/stripes/run={run_id}"
+    stripes.write.mode("append").parquet(run_dir)
+    written = (spark.read.schema(STRIPE_SCHEMA).parquet(run_dir)
+               .dropDuplicates(["stripe_id", "col_name"]))
     manifest = build_manifest(written, key_col, order_col)
     manifest.write.mode("append").parquet(f"{out_dir}/manifest")
-    _lineage_from_manifest(manifest, run_id).write.mode("append").parquet(f"{out_dir}/lineage")
+    (_lineage_from_manifest(manifest, run_id, params)
+     .write.mode("append").parquet(f"{out_dir}/lineage"))
+
+
+def read_stripes(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The full stripes table (all runs). The run= partition column is
+    dropped; orphan rows from a crash between the stripes append and the
+    manifest append are harmless (decode dedupes per stripe-column)."""
+    return (spark.read.schema(STRIPE_SCHEMA)
+            .option("basePath", f"{out_dir}/stripes")
+            .parquet(f"{out_dir}/stripes")
+            .select(*[f.name for f in STRIPE_SCHEMA.fields]))
 
 
 def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
@@ -277,15 +367,21 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
     input (bucket hash + order salt), so a rerun after a partial failure
     anti-joins the lineage table and encodes ONLY the missing stripes;
     re-encoding a stripe reproduces identical bytes (deterministic codecs),
-    and lineage gains exactly one 'ok' row per stripe.
+    and lineage gains exactly one 'ok' row per stripe. Resuming with
+    different n_buckets/stripe_rows/key_col raises (lineage records them).
     """
-    n_rows = df.count()
     if n_buckets is None:
+        n_rows = _estimate_rows(df)
+        if n_rows is None:
+            n_rows = df.count()
         n_buckets = max((n_rows + stripe_rows - 1) // stripe_rows, 1)
     run_id = uuid.uuid4().hex[:12]
+    params = {"n_buckets": n_buckets, "stripe_rows": stripe_rows,
+              "key_col": key_col, "order_col": order_col}
+    _check_resume_params(spark, out_dir, params)
 
     stripes = encode_dataframe(df, key_col, order_col, sort_keys,
-                               stripe_rows, n_buckets, n_rows=n_rows)
+                               stripe_rows, n_buckets)
 
     done = completed_stripes(spark, out_dir)
     resumed = False
@@ -293,9 +389,9 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
         stripes = stripes.join(F.broadcast(done), "stripe_id", "left_anti")
         resumed = True
 
-    commit(spark, stripes, out_dir, key_col, order_col, run_id, done=done)
+    commit(spark, stripes, out_dir, key_col, order_col, run_id, params=params)
 
-    stats = (spark.read.parquet(f"{out_dir}/manifest")
+    stats = (read_manifest(spark, out_dir)
              .agg(F.count("*").alias("n_stripes"), F.sum("n_rows").alias("n_rows"),
                   F.sum("raw_bytes").alias("raw_bytes"),
                   F.sum("enc_bytes").alias("enc_bytes")).collect()[0])
@@ -311,9 +407,8 @@ def decode_job(spark: SparkSession, out_dir: str,
     Column over the manifest (e.g. key_min/key_max bounds) used to prune
     whole stripes before any decode work — the Spark analog of the
     reference's (unused) stats-skipping model (src/proto.rs:66-111)."""
-    stripes = spark.read.parquet(f"{out_dir}/stripes")
+    stripes = read_stripes(spark, out_dir)
     if stripe_predicate is not None:
-        manifest = spark.read.parquet(f"{out_dir}/manifest")
-        keep = manifest.filter(stripe_predicate).select("stripe_id")
+        keep = read_manifest(spark, out_dir).filter(stripe_predicate).select("stripe_id")
         stripes = stripes.join(F.broadcast(keep), "stripe_id", "left_semi")
     return decode_dataframe(stripes, columns=columns)

@@ -27,19 +27,23 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     ``out_dir``/{stripes,manifest,lineage}. Returns the StreamingQuery."""
     spark = stream_df.sparkSession
 
+    params = {"n_buckets": n_buckets, "stripe_rows": stripe_rows,
+              "key_col": key_col, "order_col": order_col}
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         stripes = pipeline.encode_dataframe(
             batch_df, key_col=key_col, order_col=order_col,
             stripe_rows=stripe_rows, n_buckets=n_buckets,
-            n_rows=1,  # n_buckets fixed; skip the count
             stripe_prefix=f"b{batch_id:08d}-")
         done = pipeline.completed_stripes(spark, out_dir)
         if done is not None:
             stripes = stripes.join(F.broadcast(done), "stripe_id", "left_anti")
+        # commit reads back ONLY this batch's run dir — per-batch commit cost
+        # stays O(batch) as the table grows (not O(total stripes ever))
         pipeline.commit(spark, stripes, out_dir, key_col, order_col,
-                        run_id=f"stream-b{batch_id}", done=done)
+                        run_id=f"stream-b{batch_id}", params=params)
 
     writer = (stream_df.writeStream
               .foreachBatch(process_batch)

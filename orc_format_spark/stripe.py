@@ -30,6 +30,26 @@ STRIPE_COLUMNS = [
 
 INT_KINDS = {"int8": np.int64, "int16": np.int64, "int32": np.int64, "int64": np.int64}
 
+_STAT_MAX_CHARS = 64
+
+
+def _stat_upper_bound(s: str, limit: int = _STAT_MAX_CHARS) -> str:
+    """Truncate a string stat to ``limit`` chars WITHOUT understating the
+    maximum: increment the rightmost incrementable char of the prefix and
+    drop the tail (the Parquet/ORC writer trick), so ``result >= s`` always
+    holds and stripe pruning on key_max can never drop a matching stripe."""
+    if len(s) <= limit:
+        return s
+    p = s[:limit]
+    for i in range(limit - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nc = c + 1
+            if 0xD800 <= nc <= 0xDFFF:  # skip the surrogate gap
+                nc = 0xE000
+            return p[:i] + chr(nc)
+    return s  # all chars at the code-point max: keep the full string
+
 
 def spark_kind(dtype_str: str) -> str:
     """Map a Spark simpleString dtype to our column kind."""
@@ -175,7 +195,12 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
                 lo, hi = mm["min"], mm["max"]
             else:
                 lo, hi = min(vals), max(vals)
-            row.update(min_val=str(lo)[:64], max_val=str(hi)[:64])
+            # min truncation is safe (understating a minimum keeps the bound
+            # valid); max needs the upper-bound-preserving increment. Note:
+            # string stats compare lexicographically — numeric predicates
+            # against key_min/key_max must cast (documented in decode_job).
+            row.update(min_val=str(lo)[:_STAT_MAX_CHARS],
+                       max_val=_stat_upper_bound(str(hi)))
     elif kind.startswith("array_float"):
         flat, lengths = vals
         fdtype = "float32" if kind.endswith("32") else "float64"
@@ -388,10 +413,14 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
     n_valid = int(valid.sum())
     if kind.startswith("array_float"):
         flat, lengths = vals
-        offsets = np.zeros(n_valid + 1, dtype=np.int32)
-        np.cumsum(lengths.astype(np.int32), out=offsets[1:])
+        # int64 offsets: a stripe of 65k rows x wide embeddings can exceed
+        # 2^31-1 flat elements; int32 cumsum would silently wrap. LargeList
+        # holds any size; the cast to the (32-bit-offset) target raises
+        # explicitly instead of corrupting if it genuinely overflows.
+        offsets = np.zeros(n_valid + 1, dtype=np.int64)
+        np.cumsum(lengths.astype(np.int64), out=offsets[1:])
         child = pa.array(flat)
-        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child)
         if n_valid != n:
             idx = np.zeros(n, dtype=np.int64)
             idx[valid] = np.arange(n_valid)

@@ -1,0 +1,117 @@
+"""Commit-path invariants: O(batch) commit cost, crash-window replay
+safety for manifest stats, resume parameter guard, and the footer-based
+row estimate that replaced the count() pre-pass."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_format_spark import pipeline, transcripts
+from orc_format_spark.stripe import _stat_upper_bound
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    d = transcripts.generate(spark, n_convs=60, seed=7)
+    d.cache().count()
+    return d
+
+
+def test_commit_reads_only_its_own_run_dir(spark, df, tmp_path):
+    """Commit cost must be O(batch), not O(table): plant a MALFORMED parquet
+    file in an older run dir — if commit touched any prior run's files the
+    read would fail, so success proves the batch-scoped read-back."""
+    out = str(tmp_path / "enc")
+    junk = tmp_path / "enc" / "stripes" / "run=00000000junk"
+    junk.mkdir(parents=True)
+    (junk / "part-00000-junk.parquet").write_bytes(b"\x00not-a-parquet-file")
+
+    stripes = pipeline.encode_dataframe(df, "conv_id", "turn_idx",
+                                        stripe_rows=300, n_buckets=6)
+    pipeline.commit(spark, stripes, out, "conv_id", "turn_idx", run_id="batch2")
+    manifest = pipeline.read_manifest(spark, out)
+    assert manifest.count() > 0  # derived without reading run=00000000junk
+
+
+def test_replayed_append_does_not_double_manifest_stats(spark, df, tmp_path):
+    """Crash window: a rerun that re-appends byte-identical stripe rows into
+    the same run dir must not double raw_bytes/enc_bytes/n_cols or change
+    the manifest checksum."""
+    out_a = str(tmp_path / "clean")
+    out_b = str(tmp_path / "replayed")
+    stripes = pipeline.encode_dataframe(df, "conv_id", "turn_idx",
+                                        stripe_rows=300, n_buckets=6)
+    pipeline.commit(spark, stripes, out_a, "conv_id", "turn_idx", run_id="r1")
+    # replay: same batch committed twice under the same run_id
+    pipeline.commit(spark, stripes, out_b, "conv_id", "turn_idx", run_id="r1")
+    pipeline.commit(spark, stripes, out_b, "conv_id", "turn_idx", run_id="r1")
+
+    cols = ["stripe_id", "n_rows", "raw_bytes", "enc_bytes", "n_cols", "checksum"]
+    a = (pipeline.read_manifest(spark, out_a).select(cols)
+         .orderBy("stripe_id").toPandas())
+    b = (pipeline.read_manifest(spark, out_b).select(cols)
+         .orderBy("stripe_id").toPandas())
+    import pandas as pd
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+    # and decode still returns exactly the input rows
+    got = pipeline.decode_job(spark, out_b).orderBy("conv_id", "turn_idx").toPandas()
+    exp = df.orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(exp.reset_index(drop=True),
+                                  got[exp.columns.tolist()].reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_resume_param_mismatch_raises(spark, df, tmp_path):
+    out = str(tmp_path / "enc_params")
+    pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6)
+    with pytest.raises(ValueError, match="n_buckets"):
+        pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=12)
+    with pytest.raises(ValueError, match="stripe_rows"):
+        pipeline.encode_job(spark, df, out, stripe_rows=999, n_buckets=6)
+    # same params: clean noop resume
+    stats = pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6)
+    assert stats["resumed"] is True
+
+
+def test_estimate_rows_from_parquet_footers(spark, df, tmp_path):
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    back = spark.read.parquet(src)
+    n = pipeline._estimate_rows(back)
+    assert n == df.count()  # exact: parquet footers carry row counts
+    # non-file-backed plans fall back to None (caller counts)
+    assert pipeline._estimate_rows(df.groupBy("conv_id").count()) in (None, df.count())
+
+
+def test_stat_upper_bound_preserves_ordering():
+    long_key = "k" * 63 + "abcdefgh"  # 71 chars, truncates at 64
+    ub = _stat_upper_bound(long_key)
+    assert len(ub) <= 64
+    assert ub >= long_key  # never understates the maximum
+    assert _stat_upper_bound("short") == "short"
+    # rightmost char at unicode max: carry to the left neighbor
+    tricky = "a" * 63 + "\U0010ffff" + "tail"
+    assert _stat_upper_bound(tricky) >= tricky
+
+
+def test_long_string_keys_not_pruned_by_truncated_max(spark, tmp_path):
+    """A stripe whose true key max exceeds 64 chars must still be matched by
+    a predicate on keys in the truncated range (the ADVICE.md bug)."""
+    import pandas as pd
+    prefix = "conversation-" + "x" * 60  # every key > 64 chars
+    pdf = pd.DataFrame({
+        "conv_id": [f"{prefix}-{i:04d}" for i in range(50) for _ in range(4)],
+        "turn_idx": [t for _ in range(50) for t in range(4)],
+        "text": ["hello world"] * 200,
+    })
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "enc_long")
+    pipeline.encode_job(spark, df, out, key_col="conv_id", order_col="turn_idx",
+                        stripe_rows=100, n_buckets=2)
+    target = f"{prefix}-0049"  # lexicographically the largest key
+    pred = (F.col("key_min") <= F.lit(target)) & (F.col("key_max") >= F.lit(target))
+    got = (pipeline.decode_job(spark, out, stripe_predicate=pred)
+           .filter(F.col("conv_id") == target))
+    assert got.count() == 4
