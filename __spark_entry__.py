@@ -187,12 +187,17 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidate pairs + exact-Jaccard verification (rows-only:
-    banded LSH is not SQL-expressible)."""
+    """MinHash-LSH candidate pairs + exact-Jaccard verification, emitted as
+    the verified near-duplicate pair list. Oracle-checkable: the DuckDB twin
+    computes exact 5-gram Jaccard over ALL pairs; at threshold 0.9 the
+    banded-LSH recall for qualifying pairs is 1-(1-0.9^2)^16 ≈ 1-3e-12, so
+    the approximate path must reproduce the exact answer."""
     _pin(spark)
     df = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(df, n_hashes=32, bands=8)
-    return dedup.jaccard_verify(df, pairs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(df, n_hashes=32, bands=8,
+                                    min_shared_bands=2)
+    verified = dedup.jaccard_verify(df, pairs, threshold=0.9)
+    return verified.select("id_a", "id_b")
 
 
 def q_simhash(spark, sf_dir):
@@ -201,10 +206,24 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_signatures(df)
 
 
+_PLANT_OFFSET = 10_000_000
+
+
 def q_embedding_dups(spark, sf_dir):
+    """Embedding near-dup pairs via multi-table hyperplane LSH + exact
+    cosine verify. Self-evidencing: plants exact copies of the 5 smallest
+    vec_ids (id + 10M) — exact duplicates collide in every LSH table, so
+    recall for them is 1.0 by construction, and the corpus has no natural
+    pair above cosine 0.6, so the oracle (all-pairs SQL ≥0.9) equals
+    exactly the planted pairs."""
     _pin(spark)
-    emb = _read(spark, sf_dir, "embeddings")
-    return dedup.embedding_cosine_dups(emb, threshold=0.9)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.orderBy("vec_id").limit(5)
+               .select((F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+                       "embedding"))
+    uni = emb.unionByName(planted)
+    out = dedup.embedding_cosine_dups(uni, threshold=0.9)
+    return out.select("id_a", "id_b")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -217,12 +236,24 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only; recall path)."""
+    """LSH-bucketed approximate top-k, made oracle-checkable: plant 10
+    exact copies of the query vector — identical vectors share the query's
+    bucket in every table, so the LSH path MUST return the brute-force
+    top-10 (the copies + the query itself, tie-broken by vec_id), and the
+    oracle is plain exact SQL. Natural-recall behavior is separately pinned
+    by tests/test_ops.py::test_lsh_topk_recall."""
     _pin(spark)
-    emb = _read(spark, sf_dir, "embeddings")
-    qrow = (emb.orderBy("vec_id").select("embedding").first())
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.orderBy("vec_id").first()
     query = [float(x) for x in qrow["embedding"]]
-    return similarity.lsh_topk(emb, query, k=10, n_planes=6, n_probes=4)
+    import pandas as pd
+    planted = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [_PLANT_OFFSET + i for i in range(10)],
+        "embedding": [query] * 10}))
+    uni = emb.unionByName(planted.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")))
+    return (similarity.lsh_topk(uni, query, k=10, n_planes=6, n_probes=4)
+            .select("vec_id"))
 
 
 def q_lang_id(spark, sf_dir):
@@ -334,6 +365,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, (SELECT embedding FROM embeddings "
             "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) q "
             "ORDER BY c DESC, e.vec_id ASC LIMIT 10)",
+        "ann_lsh_topk":
+            "WITH q AS (SELECT embedding FROM embeddings "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)), "
+            "uni AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT 10000000 + r.i, q.embedding FROM q, range(10) r(i)) "
+            "SELECT vec_id FROM ("
+            "SELECT u.vec_id, list_cosine_similarity(u.embedding, q.embedding) AS c "
+            "FROM uni u, q ORDER BY c DESC, u.vec_id ASC LIMIT 10)",
+        "dedup_minhash":
+            "WITH pos AS (SELECT doc_id, text, "
+            "unnest(range(1, GREATEST(length(text)-4, 1) + 1)) AS i FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g FROM pos), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter "
+            "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
+            "WHERE CAST(ninter AS DOUBLE) / (ca.n + cb.n - ninter) >= 0.9",
+        "embedding_dups":
+            "WITH uni AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings "
+            "WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM uni a JOIN uni b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9",
+        "lang_id": text.language_id_oracle_sql(),
         "multimodal_meta":
             "SELECT doc_id AS blob_id, 'image' AS kind, 8 AS width, 6 AS height, "
             "3 AS channels, CAST(158 AS BIGINT) AS n_bytes FROM documents",

@@ -4,10 +4,20 @@ Scale notes (100 TB design point):
   - exact dedup is a hash groupBy — one shuffle on the hash, map-side
     partial aggregation free via Catalyst;
   - MinHash-LSH: per-doc signatures are computed in a vectorized pandas UDF
-    (no shuffle), then band buckets explode and the candidate join shuffles
-    ONLY on (band, bucket-hash) — pairs never materialize globally;
+    (ONE numpy pass over the whole Arrow batch — texts are concatenated into
+    a single uint8 buffer, shingle hashes / per-doc minima fall out of
+    sliding windows + segmented reduceat; zero per-doc Python loops), then
+    band buckets explode and the candidate join shuffles ONLY on
+    (band, bucket) — pairs never materialize globally;
+  - skew guard: both LSH self-joins cap bucket size before joining.
+    A degenerate bucket (empty/boilerplate docs all hashing together) would
+    otherwise go quadratic — at 100 TB a single hot bucket is a job-killer.
+    Dropped buckets are exact-duplicate-shaped, which exact_dedup already
+    covers; ``lsh_dropped_buckets`` reports them for auditing;
   - verification (exact Jaccard / cosine) runs only on candidate pairs, a
-    tiny fraction of the corpus;
+    tiny fraction of the corpus; Jaccard runs JVM-side (array_intersect on
+    precomputed shingle-hash sets — each doc is shingled ONCE, not once per
+    pair);
   - SimHash is signature-only (64-bit), dedup via self-join on the
     signature (or banded Hamming buckets).
 """
@@ -23,6 +33,12 @@ from pyspark.sql import functions as F
 
 # deterministic minhash parameters
 _MERSENNE = (1 << 61) - 1
+_POLY_BASE = 1_000_003
+
+# LSH self-join skew cap: buckets holding more members than this are dropped
+# from candidate generation (they are boilerplate-shaped; exact dedup covers
+# them). Keeps the worst bucket's pair count <= cap^2 instead of O(n^2).
+DEFAULT_BUCKET_CAP = 512
 
 
 def _mix64(h: np.ndarray) -> np.ndarray:
@@ -43,21 +59,73 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies")))
 
 
-def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Per-doc arrays of 64-bit k-shingle hashes (vectorized per doc)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        # polynomial rolling hash mod 2^61-1 over byte windows
-        pows = np.array([pow(1_000_003, k - 1 - i, _MERSENNE) for i in range(k)],
-                        dtype=np.uint64)
-        h = (win * pows).sum(axis=1) % np.uint64(_MERSENNE)
-        out.append(np.unique(h))
-    return out
+def _pows(k: int) -> np.ndarray:
+    return np.array([pow(_POLY_BASE, k - 1 - i, _MERSENNE) for i in range(k)],
+                    dtype=np.uint64)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the CPU-bound shingling UDFs get cluster-wide parallelism.
+
+    A small-ish parquet input arrives as one or two scan partitions (byte
+    -based splitting), which would serialize the numpy work onto one core.
+    At real scale inputs already have >= cores partitions and this is a
+    no-op; the round-robin repartition of a small input costs one tiny
+    shuffle and unlocks every core."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
+def _batch_shingle_hashes(texts, k: int):
+    """Shingle-hash every doc in ONE numpy pass over the whole batch.
+
+    Texts are concatenated into a single uint8 buffer; the k-byte rolling
+    polynomial hash is computed for every window of the buffer at once
+    (k shifted multiply-adds, wrap-mod-2^64 then mod 2^61-1 — the same
+    per-window arithmetic as a per-doc loop would produce); windows that
+    straddle a doc boundary are masked out. Per-doc dedup is a single
+    lexsort + run-length mask.
+
+    Returns (doc_runs, hashes): ``hashes`` is the concatenation of every
+    doc's sorted unique shingle hashes, ``doc_runs`` the n_docs+1 offsets of
+    each doc's run. Docs shorter than k contribute the single hash 0.
+    """
+    blobs = [t.encode("utf-8") for t in texts]
+    n_docs = len(blobs)
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n_docs)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.uint64)
+
+    pows = _pows(k)
+    n_win = len(buf) - k + 1
+    if n_win > 0:
+        h = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            h += buf[j:j + n_win] * pows[j]
+        h %= np.uint64(_MERSENNE)
+        widx = np.arange(n_win, dtype=np.int64)
+        doc_of = np.searchsorted(starts, widx, side="right") - 1
+        valid = (widx + k) <= starts[doc_of + 1]
+        doc_of, h = doc_of[valid], h[valid]
+    else:
+        doc_of = np.zeros(0, dtype=np.int64)
+        h = np.zeros(0, dtype=np.uint64)
+
+    short = np.flatnonzero(lens < k)
+    if len(short):
+        doc_of = np.concatenate([doc_of, short])
+        h = np.concatenate([h, np.zeros(len(short), dtype=np.uint64)])
+
+    order = np.lexsort((h, doc_of))
+    doc_of, h = doc_of[order], h[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (np.diff(doc_of) != 0) | (np.diff(h) != 0)
+    doc_of, h = doc_of[keep], h[keep]
+    doc_runs = np.searchsorted(doc_of, np.arange(n_docs + 1))
+    return doc_runs, h
 
 
 def _minhash_params(n_hashes: int, seed: int = 42):
@@ -70,124 +138,201 @@ def _minhash_params(n_hashes: int, seed: int = 42):
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 64,
                        shingle_k: int = 5, seed: int = 42) -> DataFrame:
-    """doc -> array<long> of n_hashes minhash values (vectorized UDF)."""
+    """doc -> array<long> of n_hashes minhash values. One vectorized numpy
+    pass per Arrow batch: (a*x+b) mod p over ALL docs' shingles at once,
+    per-doc minima via segmented ``minimum.reduceat``."""
     a, b = _minhash_params(n_hashes, seed)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for hashes in _shingle_hashes(pdf[text_col], shingle_k):
-                # (a*x + b) mod p, min over shingles, per hash function
-                hx = (hashes[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(hx.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+            if not len(pdf):
+                continue
+            runs, hashes = _batch_shingle_hashes(pdf[text_col], shingle_k)
+            sig = np.empty((len(pdf), n_hashes), dtype=np.int64)
+            seg = runs[:-1]
+            for i in range(n_hashes):
+                hx = (hashes * a[i] + b[i]) % np.uint64(_MERSENNE)
+                sig[:, i] = np.minimum.reduceat(hx, seg).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": list(sig)})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         compute, schema=f"{id_col} long, signature array<long>")
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_k: int = 5) -> DataFrame:
+    """doc -> sorted unique shingle-hash set (array<long>), computed ONCE
+    per doc so verification never re-shingles per pair."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            runs, hashes = _batch_shingle_hashes(pdf[text_col], shingle_k)
+            sets = np.split(hashes.astype(np.int64), runs[1:-1])
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": sets})
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        compute, schema=f"{id_col} long, shingles array<long>")
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str], bucket_cap: int) -> DataFrame:
+    """Drop members of buckets larger than ``bucket_cap`` before a bucket
+    self-join (skew guard). The anti-join shuffles on the same keys as the
+    self-join that follows, so it adds no extra exchange of the big side."""
+    hot = (banded.groupBy(*keys).count()
+           .filter(F.col("count") > bucket_cap).select(*keys))
+    return banded.join(hot, keys, "left_anti")
+
+
+def lsh_dropped_buckets(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_hashes: int = 64,
+                        bands: int = 16, shingle_k: int = 5, seed: int = 42,
+                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Audit view: the (band, bucket, count) rows the skew cap excludes from
+    minhash_lsh_pairs — 'silent cap' avoidance; empty when no bucket is hot."""
+    banded = _banded(df, text_col, id_col, n_hashes, bands, shingle_k, seed)
+    return (banded.groupBy("band", "bucket").count()
+            .filter(F.col("count") > bucket_cap))
+
+
+def _banded(df: DataFrame, text_col: str, id_col: str, n_hashes: int,
+            bands: int, shingle_k: int, seed: int) -> DataFrame:
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return (sigs.select(id_col, "signature", band_idx)
+            .select(id_col, "band",
+                    F.xxhash64(F.slice("signature",
+                                       F.col("band") * rows + 1, rows),
+                               F.col("band")).alias("bucket")))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 64,
                       bands: int = 16, shingle_k: int = 5,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      bucket_cap: int = DEFAULT_BUCKET_CAP,
+                      min_shared_bands: int = 1) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH (shuffle on band buckets
-    only). Returns (id_a, id_b, n_shared_bands), id_a < id_b."""
-    rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = (sigs.select(id_col, "signature", band_idx)
-              .select(id_col, "band",
-                      F.xxhash64(F.slice("signature",
-                                         F.col("band") * rows + 1, rows),
-                                 F.col("band")).alias("bucket")))
+    only; hot buckets capped — see lsh_dropped_buckets). Returns
+    (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    ``min_shared_bands``: for high thresholds, requiring >=2 shared bands
+    slashes coincidental single-band candidates (the dominant verify cost at
+    corpus scale) while a true near-dup pair shares most bands — e.g. at
+    rows=4 a j=0.99 pair misses 2-of-8 bands with probability ~1e-9."""
+    banded = _banded(df, text_col, id_col, n_hashes, bands, shingle_k, seed)
+    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     left = banded.alias("l")
     right = banded.alias("r")
-    return (left.join(right, ["band", "bucket"])
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .groupBy(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"))
-            .agg(F.count("*").alias("n_shared_bands")))
+    out = (left.join(right, ["band", "bucket"])
+           .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+           .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+           .agg(F.count("*").alias("n_shared_bands")))
+    if min_shared_bands > 1:
+        out = out.where(F.col("n_shared_bands") >= min_shared_bands)
+    return out
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_k: int = 5,
                    threshold: float = 0.7) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only (broadcast-friendly)."""
-    docs = df.select(F.col(id_col), F.col(text_col))
-    joined = (pairs
-              .join(docs.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
-              .join(docs.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b"))
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ja = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                ha = _shingle_hashes(pd.Series([ta]), shingle_k)[0]
-                hb = _shingle_hashes(pd.Series([tb]), shingle_k)[0]
-                inter = len(np.intersect1d(ha, hb, assume_unique=True))
-                union = len(ha) + len(hb) - inter
-                ja.append(inter / union if union else 1.0)
-            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                                "jaccard": ja})
-
-    out = joined.mapInPandas(verify, schema="id_a long, id_b long, jaccard double")
-    return out.where(F.col("jaccard") >= threshold)
+    """Exact shingle-set Jaccard on candidate pairs only. Each doc is
+    shingled ONCE (shingle_sets); the set intersection itself runs JVM-side
+    (array_intersect under whole-stage codegen) — no Python in the verify."""
+    sets = shingle_sets(df, text_col, id_col, shingle_k)
+    joined = (pairs.select("id_a", "id_b")
+              .join(sets.select(F.col(id_col).alias("id_a"),
+                                F.col("shingles").alias("sh_a")), "id_a")
+              .join(sets.select(F.col(id_col).alias("id_b"),
+                                F.col("shingles").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_k: int = 4,
                        seed: int = 42) -> DataFrame:
-    """64-bit SimHash per doc (vectorized: popcount-weighted bit voting)."""
+    """64-bit SimHash per doc (batch-vectorized: popcount-weighted bit
+    voting via segmented add.reduceat over the whole batch's shingles)."""
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = []
-            for hashes in _shingle_hashes(pdf[text_col], shingle_k):
-                # spread the 61-bit rolling hashes over 64 bits (full avalanche)
-                h64 = _mix64(hashes)
-                bits = (h64[:, None] >> bit_idx) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(h64)  # +1/-1 voting
-                sig = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
-                out.append(sig - (1 << 63))  # store as signed long
+            if not len(pdf):
+                continue
+            runs, hashes = _batch_shingle_hashes(pdf[text_col], shingle_k)
+            h64 = _mix64(hashes)
+            seg = runs[:-1]
+            counts = np.diff(runs)                    # shingles per doc
+            sig = np.zeros(len(pdf), dtype=np.uint64)
+            for bit in bit_idx:                       # per-bit: O(M) memory,
+                ones = (h64 >> bit) & np.uint64(1)    # never M x 64
+                votes = np.add.reduceat(ones.astype(np.int64), seg)
+                sig |= (2 * votes > counts).astype(np.uint64) << bit
+            out = (sig - np.uint64(1 << 63)).view(np.int64)  # store signed
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         compute, schema=f"{id_col} long, simhash long")
 
 
 def embedding_cosine_dups(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95,
-                          n_planes: int = 12, seed: int = 42) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine, LSH-bucketed by random
-    hyperplane signs so the self-join shuffles per bucket, not all-pairs."""
+                          n_tables: int = 4, n_planes: int = 8,
+                          bucket_cap: int = DEFAULT_BUCKET_CAP,
+                          seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine.
+
+    Multi-table OR construction: ``n_tables`` independent hyperplane-LSH
+    tables of ``n_planes`` bits each; a pair is a candidate when it shares
+    a bucket in ANY table. A single AND-only table has vanishing recall at
+    high cosine (a 0.95-cosine pair must agree on every plane); OR-ing
+    tables takes recall from p^k to 1-(1-p^k)^T while each table's join
+    still shuffles per-bucket, never all-pairs. Exact duplicates collide in
+    every table, so their recall is 1.0 by construction. Hot buckets are
+    capped (skew guard) — see DEFAULT_BUCKET_CAP."""
     first = emb.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    shifts = np.arange(n_planes, dtype=np.uint64)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             m = np.vstack(pdf[vec_col].to_numpy())
             norm = np.linalg.norm(m, axis=1, keepdims=True)
             norm[norm == 0] = 1.0
             m = m / norm
-            signs = (m @ planes.T) > 0
-            bucket = (signs.astype(np.uint64)
-                      << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                "bucket": bucket.astype(np.int64),
-                                "unit": list(m.astype(np.float64))})
+            frames = []
+            for t in range(n_tables):
+                signs = (m @ planes[t].T) > 0
+                bucket = (signs.astype(np.uint64) << shifts).sum(axis=1)
+                frames.append(pd.DataFrame({
+                    id_col: pdf[id_col], "table": t,
+                    "bucket": bucket.astype(np.int64),
+                    "unit": list(m.astype(np.float64))}))
+            yield pd.concat(frames, ignore_index=True)
 
-    b = emb.select(id_col, vec_col).mapInPandas(
-        bucketize, schema=f"{id_col} long, bucket long, unit array<double>")
+    b = _spread(emb.select(id_col, vec_col)).mapInPandas(
+        bucketize,
+        schema=f"{id_col} long, table int, bucket long, unit array<double>")
+    b = _cap_buckets(b, ["table", "bucket"], bucket_cap)
     left, right = b.alias("l"), b.alias("r")
-    pairs = (left.join(right, "bucket")
+    pairs = (left.join(right, ["table", "bucket"])
              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"),
-                     F.aggregate(F.zip_with("l.unit", "r.unit",
-                                            lambda x, y: x * y),
-                                 F.lit(0.0), lambda acc, x: acc + x)
-                     .alias("cosine")))
-    return pairs.where(F.col("cosine") >= threshold).dropDuplicates(["id_a", "id_b"])
+                     F.col("l.unit").alias("unit_a"),
+                     F.col("r.unit").alias("unit_b"))
+             .dropDuplicates(["id_a", "id_b"]))  # OR across tables, once
+    cosine = F.aggregate(F.zip_with("unit_a", "unit_b", lambda x, y: x * y),
+                         F.lit(0.0), lambda acc, x: acc + x)
+    return (pairs.select("id_a", "id_b", cosine.alias("cosine"))
+            .where(F.col("cosine") >= threshold))

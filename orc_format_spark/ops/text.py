@@ -1,11 +1,13 @@
 """Text analysis operators: quality scoring, token counting, language ID,
 document fingerprinting. Quality/token metrics are pure built-in-function
 column expressions (JVM, whole-stage codegen — SQL-oracle-checkable);
-language-ID and fingerprints are vectorized pandas UDFs.
+language-ID and fingerprints are vectorized pandas UDFs with NO per-doc
+Python loops (columnar str ops / one numpy pass over the whole batch).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -57,45 +59,105 @@ _LANG_PROFILES = {
 
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """n-gram-overlap language ID ('und' when nothing matches). Vectorized
-    pandas UDF (per-batch numpy substring counting)."""
+    """n-gram-overlap language ID ('und' when nothing matches).
+
+    Columnar: per profile gram, ONE vectorized ``Series.str.count`` pass
+    over the whole batch (non-overlapping counts, same semantics as
+    ``str.count`` / SQL replace-count, so the DuckDB oracle can reproduce
+    the scores exactly). Ties break to the lexicographically larger lang
+    (matching ``max`` over (score, lang) tuples)."""
+    langs = sorted(_LANG_PROFILES)  # ascending; later >= update == larger wins ties
+
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            langs = []
-            for t in pdf[text_col]:
-                s = f" {t.lower()} "
-                scores = {lang: sum(s.count(g) for g in grams)
-                          for lang, grams in _LANG_PROFILES.items()}
-                best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-                langs.append(best[0] if best[1] > 0 else "und")
-            yield pd.DataFrame({id_col: pdf[id_col], "lang_pred": langs})
+            if not len(pdf):
+                continue
+            s = " " + pdf[text_col].str.lower() + " "
+            best_score = np.full(len(pdf), -1, dtype=np.int64)
+            best_lang = np.empty(len(pdf), dtype=object)
+            for lang in langs:
+                score = np.zeros(len(pdf), dtype=np.int64)
+                for g in _LANG_PROFILES[lang]:
+                    score += s.str.count(re.escape(g)).to_numpy(dtype=np.int64)
+                upd = score >= best_score
+                best_score[upd] = score[upd]
+                best_lang[upd] = lang
+            pred = np.where(best_score > 0, best_lang, "und")
+            yield pd.DataFrame({id_col: pdf[id_col], "lang_pred": pred})
 
     return df.select(id_col, text_col).mapInPandas(
         infer, schema=f"{id_col} long, lang_pred string")
 
 
+def language_id_oracle_sql(table: str = "documents", text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """The ANSI-SQL twin of :func:`language_id` (for the DuckDB oracle):
+    per-gram non-overlapping counts via replace-length arithmetic, best lang
+    by (score DESC, lang DESC), 'und' when the best score is 0."""
+    selects = []
+    for lang, grams in _LANG_PROFILES.items():
+        terms = " + ".join(
+            "(LENGTH(s) - LENGTH(REPLACE(s, '{g}', ''))) / {n}".format(
+                g=g.replace("'", "''"), n=len(g))
+            for g in grams)
+        selects.append(
+            f"SELECT {id_col}, '{lang}' AS lang, CAST({terms} AS BIGINT) AS score "
+            f"FROM (SELECT {id_col}, ' ' || LOWER({text_col}) || ' ' AS s FROM {table})")
+    union = " UNION ALL ".join(selects)
+    return (
+        f"SELECT {id_col}, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred "
+        f"FROM (SELECT {id_col}, lang, score, ROW_NUMBER() OVER "
+        f"(PARTITION BY {id_col} ORDER BY score DESC, lang DESC) AS rn "
+        f"FROM ({union})) WHERE rn = 1")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", window: int = 16) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling polynomial hash per
-    window (robust to small edits), as one int64 per doc. Vectorized numpy."""
+    window (robust to small edits), as one int64 per doc. One numpy pass
+    over the whole batch: concatenated buffer, global sliding windows,
+    boundary masking, per-doc min via segmented ``minimum.reduceat``."""
     mod = np.uint64((1 << 61) - 1)
+    base = np.uint64(1_000_003)
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pows = np.array([pow(1_000_003, window - 1 - i, int(mod))
+                         for i in range(window)], dtype=np.uint64)
         for pdf in batches:
-            out = []
-            for t in pdf[text_col]:
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                if len(b) < window:
-                    h = int((b.astype(np.uint64)
-                             * np.uint64(1_000_003) ** np.arange(len(b), dtype=np.uint64)
-                             % mod).sum() % mod) if len(b) else 0
-                    out.append(h - (1 << 62))
-                    continue
-                win = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-                pows = np.array([pow(1_000_003, window - 1 - i, int(mod))
-                                 for i in range(window)], dtype=np.uint64)
-                hashes = (win * pows).sum(axis=1) % mod
-                out.append(int(hashes.min()) - (1 << 62))
+            if not len(pdf):
+                continue
+            blobs = [t.encode("utf-8") for t in pdf[text_col]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            starts = np.zeros(len(blobs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            buf = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.uint64)
+
+            out = np.zeros(len(blobs), dtype=np.int64)
+            n_win = len(buf) - window + 1
+            long_docs = lens >= window
+            if n_win > 0 and long_docs.any():
+                h = np.zeros(n_win, dtype=np.uint64)
+                for j in range(window):
+                    h += buf[j:j + n_win] * pows[j]
+                h %= mod
+                widx = np.arange(n_win, dtype=np.int64)
+                doc_of = np.searchsorted(starts, widx, side="right") - 1
+                valid = ((widx + window) <= starts[doc_of + 1]) & long_docs[doc_of]
+                dv, hv = doc_of[valid], h[valid]
+                seg = np.searchsorted(dv, np.flatnonzero(long_docs))
+                mins = np.minimum.reduceat(hv, seg)
+                out[long_docs] = mins.astype(np.int64) - (1 << 62)
+            # short docs: whole-doc polynomial hash (ascending powers,
+            # wrap-mod-2^64 per term — kept byte-compatible with the
+            # original per-doc formula)
+            for i in np.flatnonzero(~long_docs):
+                b = buf[starts[i]:starts[i + 1]]
+                if len(b):
+                    p = base ** np.arange(len(b), dtype=np.uint64)
+                    out[i] = int(((b * p) % mod).sum() % mod) - (1 << 62)
+                else:
+                    out[i] = -(1 << 62)
             yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
 
     return df.select(id_col, text_col).mapInPandas(

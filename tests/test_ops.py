@@ -50,6 +50,47 @@ def test_minhash_finds_near_duplicates(spark):
     assert all(2 not in p and 4 not in p for p in found), f"false positive: {found}"
 
 
+def test_lsh_bucket_cap_bounds_hot_buckets(spark):
+    """A degenerate corpus (many identical boilerplate docs) must not go
+    quadratic: with the cap, pair counts stay bounded; the dropped buckets
+    are reported by lsh_dropped_buckets."""
+    n_boiler = 40
+    rows = [(i, "identical boilerplate text repeated " * 6) for i in range(n_boiler)]
+    rows += [(100, "a unique document about distributed encoding " * 4),
+             (101, "a unique document about distributed encoding " * 4)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = dedup.minhash_lsh_pairs(df, n_hashes=32, bands=8, bucket_cap=8)
+    got = pairs.toPandas()
+    # boilerplate bucket (40 members > cap 8) dropped entirely; the small
+    # duplicate pair survives
+    assert {tuple(sorted((a, b))) for a, b in zip(got.id_a, got.id_b)} == {(100, 101)}
+    dropped = dedup.lsh_dropped_buckets(df, n_hashes=32, bands=8, bucket_cap=8).toPandas()
+    assert len(dropped) > 0 and (dropped["count"] == n_boiler).all()
+    # uncapped control: the hot bucket would contribute 40*39/2 pairs
+    uncapped = dedup.minhash_lsh_pairs(df, n_hashes=32, bands=8).count()
+    assert uncapped >= n_boiler * (n_boiler - 1) // 2
+
+
+def test_embedding_dups_multi_table_or_recall(spark, emb):
+    """Multi-table OR LSH: a 0.95-cosine (not identical) pair must be
+    recalled — the single AND-only table design had vanishing recall."""
+    first = emb.orderBy("vec_id").first()
+    v = np.array(first["embedding"], dtype=np.float64)
+    rng = np.random.default_rng(0)
+    for trial in range(5):  # five planted near-dups, all must be found
+        w = v + rng.standard_normal(len(v)) * 0.08 * np.linalg.norm(v) / np.sqrt(len(v))
+        cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        assert cos > 0.95, f"planted pair not close enough: {cos}"
+        dup = spark.createDataFrame(pd.DataFrame(
+            {"vec_id": [900_000 + trial], "embedding": [[float(x) for x in w]]}))
+        df = emb.select("vec_id", "embedding").unionByName(
+            dup.select("vec_id", F.col("embedding").cast("array<float>").alias("embedding")))
+        out = dedup.embedding_cosine_dups(df, threshold=0.93).toPandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(out.id_a, out.id_b)}
+        assert (int(first["vec_id"]), 900_000 + trial) in found, \
+            f"trial {trial}: near-dup pair missed (cos={cos:.4f}): {found}"
+
+
 def test_minhash_signature_deterministic(spark):
     df = spark.createDataFrame(pd.DataFrame(
         {"doc_id": [0, 1], "text": ["hello world " * 10, "spark rle codec " * 8]}))
