@@ -145,6 +145,23 @@ def q_pruned_decode(spark, sf_dir):
                                      schema=schema)
 
 
+def q_stride_pruned_lookup(spark, sf_dir):
+    """Row-group (stride) skipping: encode events with a 256-row stride
+    index, point-range decode touches only the strides whose [min,max]
+    overlap — <10% of each stripe's bytes for a narrow range (the
+    RowIndexEntry analog; pinned by tests/test_stride_index.py)."""
+    _pin(spark)
+    df = _read(spark, sf_dir, "events")
+    stripes = pipeline.encode_dataframe(df, "event_id", None,
+                                        sort_keys=["event_id"],
+                                        stripe_rows=8192, index_rows=256)
+    lo, hi = 3000, 3050
+    out = pipeline.decode_dataframe(
+        stripes, columns=["event_id", "event_type", "value"],
+        stride_range=("event_id", lo, hi))
+    return out.filter(F.col("event_id").between(lo, hi))
+
+
 def q_codec_selection(spark, sf_dir):
     """Per-column chosen codec + sizes over events (engine metadata;
     rows-only check — depends on our codec inventory, not SQL)."""
@@ -302,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_doc_text": q_fsst_doc_text,
         "present_null_tool": q_present_null_tool,
         "pruned_decode": q_pruned_decode,
+        "stride_pruned_lookup": q_stride_pruned_lookup,
         "codec_selection": q_codec_selection,
         "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
@@ -342,6 +360,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CASE WHEN value < 0.5 THEN event_type END AS tool "
             "FROM events",
         "pruned_decode": "SELECT event_id, event_type FROM events",
+        "stride_pruned_lookup":
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_id BETWEEN 3000 AND 3050",
         "events_rollup":
             "SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, "
             "MAX(ts) AS last_ts, COUNT(DISTINCT event_type) AS n_event_types "

@@ -115,13 +115,17 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
                      n_buckets: int | None = None,
                      n_rows: int | None = None,
                      force_codecs: dict[str, str] | None = None,
-                     stripe_prefix: str = "") -> DataFrame:
+                     stripe_prefix: str = "",
+                     index_rows: int | None = None) -> DataFrame:
     """Encode ``df`` into stripe-column rows (lazy; one shuffle).
 
     ``key_col`` groups related rows into the same stripe (conv_id);
     ``order_col`` both orders rows within the stripe and salts oversized
     groups (turn_idx // stripe_rows) so a single huge conversation cannot
     blow past the stripe-size cap (skew handling, north_rule).
+    ``index_rows`` adds a row-group index: every column is encoded in
+    strides of that many rows with per-stride stats, enabling sub-stripe
+    skipping at decode (see decode_dataframe's ``stride_range``).
     """
     kinds = column_kinds(df)
     sort_keys = sort_keys or [k for k in (key_col, order_col) if k]
@@ -166,7 +170,7 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
             sid = f"{stripe_prefix}{int(b[lo]):08d}-{int(s[lo]):06d}"
             rows.extend(stripe_mod.encode_stripe_arrow(
                 data.slice(lo, hi - lo), kinds, sid, int(b[lo]),
-                force_codecs=force_codecs))
+                force_codecs=force_codecs, index_rows=index_rows))
         yield stripe_mod.stripe_rows_to_batch(rows)
 
     return keyed.mapInArrow(encode_partition, STRIPE_SCHEMA)
@@ -190,19 +194,28 @@ def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[
 
 
 def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
-                     schema: T.StructType | None = None) -> DataFrame:
+                     schema: T.StructType | None = None,
+                     stride_range: tuple | None = None) -> DataFrame:
     """Decode stripe-column rows back to the original row layout (lazy).
 
     ``columns`` prunes decode to the named columns — the filter on
     ``col_name`` is pushed down to the stripes scan by Catalyst, the analog
     of the reference's read-one-column projection pushdown
     (src/read/mod.rs:117-159).
+
+    ``stride_range`` = (col_name, lo, hi): on row-group-indexed stripes,
+    decode ONLY the strides whose per-stride [min,max] for that column
+    overlaps [lo, hi] (sub-stripe skipping). The caller applies the exact
+    residual predicate; strides are a superset of matching rows.
     """
     if schema is None:
         schema, columns = infer_schema(stripes, columns)
     elif columns is None:
         columns = [f.name for f in schema.fields]
-    pruned = stripes.filter(F.col("col_name").isin(columns))
+    scan_cols = list(columns)
+    if stride_range is not None and stride_range[0] not in scan_cols:
+        scan_cols.append(stride_range[0])  # stats live on the predicate col
+    pruned = stripes.filter(F.col("col_name").isin(scan_cols))
     # same AQE-coalescing consideration as the encode side: stripe rows are
     # byte-light but expand ~10x on decode — pin a parallel task count. One
     # shuffle; stripes arrive contiguous after the partition-local sort.
@@ -234,7 +247,8 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             rows = tbl.slice(lo, hi - lo).to_pylist()
-            yield stripe_mod.decode_stripe_arrow(rows, columns, target_schema)
+            yield stripe_mod.decode_stripe_arrow(rows, columns, target_schema,
+                                                 stride_range=stride_range)
 
     return pruned.mapInArrow(decode_partition, schema)
 
@@ -402,13 +416,17 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
 
 def decode_job(spark: SparkSession, out_dir: str,
                columns: list[str] | None = None,
-               stripe_predicate=None) -> DataFrame:
+               stripe_predicate=None,
+               stride_range: tuple | None = None) -> DataFrame:
     """Read + decode a persisted stripes table; ``stripe_predicate`` is a
     Column over the manifest (e.g. key_min/key_max bounds) used to prune
     whole stripes before any decode work — the Spark analog of the
-    reference's (unused) stats-skipping model (src/proto.rs:66-111)."""
+    reference's (unused) stats-skipping model (src/proto.rs:66-111).
+    ``stride_range`` additionally skips row groups INSIDE surviving stripes
+    (see decode_dataframe). Stats are strings: numeric predicates must use
+    int-like key columns (stored numerically) or cast explicitly."""
     stripes = read_stripes(spark, out_dir)
     if stripe_predicate is not None:
         keep = read_manifest(spark, out_dir).filter(stripe_predicate).select("stripe_id")
         stripes = stripes.join(F.broadcast(keep), "stripe_id", "left_semi")
-    return decode_dataframe(stripes, columns=columns)
+    return decode_dataframe(stripes, columns=columns, stride_range=stride_range)

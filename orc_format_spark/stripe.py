@@ -222,11 +222,205 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
     return row
 
 
+# ---------------------------------------------------------------------------
+# row-group (stride) index: sub-stripe skipping — the RowIndex/RowIndexEntry
+# analog (reference src/proto.rs:88-99, 251-252: per-10k-row positions +
+# stats, unused by the reference reader; here it is load-bearing). A strided
+# column is encoded per-stride (each stride a self-contained sub-encoding,
+# codec chosen per stride), streams concatenated, with per-stride byte
+# offsets + min/max stats serialized into the ``extra`` field. Decode with a
+# predicate reads ONLY the matching strides' bytes.
+# ---------------------------------------------------------------------------
+
+_CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
+              "str_direct", "str_dict", "str_fsst", "float_list"]
+_STREAMS = ("present", "data", "length", "dict_data", "extra")
+
+
+def _serialize_stride_index(strides: list[dict]) -> bytes:
+    """Per-stride: n_rows, n_nulls, codec, compression flags, ndv (0=None),
+    5 stream lengths, min/max stat strings — all varint-framed."""
+    from .codecs import varint
+    out = [varint.encode_unsigned(len(strides))]
+    for r in strides:
+        comp, comp2 = (r["compression"] or "none|none").split("|")
+        flags = (1 if comp == "zlib" else 0) | (2 if comp2 == "zlib" else 0)
+        out.append(varint.encode_unsigned(r["n_rows"]))
+        out.append(varint.encode_unsigned(r["n_nulls"]))
+        out.append(varint.encode_unsigned(_CODEC_IDS.index(r["codec"])))
+        out.append(varint.encode_unsigned(flags))
+        out.append(varint.encode_unsigned(0 if r["ndv"] is None else r["ndv"] + 1))
+        for s in _STREAMS:
+            out.append(varint.encode_unsigned(len(r[s])))
+        for stat in ("min_val", "max_val"):
+            b = (r[stat] or "").encode("utf-8")
+            present = r[stat] is not None
+            out.append(varint.encode_unsigned((len(b) << 1) | int(present)))
+            out.append(b)
+    return b"".join(out)
+
+
+def _parse_stride_index(blob: bytes) -> list[dict]:
+    from .codecs import varint
+    n, pos = varint.decode_unsigned(blob, 0)
+    strides = []
+    for _ in range(n):
+        r = {}
+        r["n_rows"], pos = varint.decode_unsigned(blob, pos)
+        r["n_nulls"], pos = varint.decode_unsigned(blob, pos)
+        cid, pos = varint.decode_unsigned(blob, pos)
+        r["codec"] = _CODEC_IDS[cid]
+        flags, pos = varint.decode_unsigned(blob, pos)
+        r["compression"] = (("zlib" if flags & 1 else "none") + "|"
+                            + ("zlib" if flags & 2 else "none"))
+        ndv, pos = varint.decode_unsigned(blob, pos)
+        r["ndv"] = None if ndv == 0 else ndv - 1
+        r["lens"] = {}
+        for s in _STREAMS:
+            r["lens"][s], pos = varint.decode_unsigned(blob, pos)
+        for stat in ("min_val", "max_val"):
+            tag, pos = varint.decode_unsigned(blob, pos)
+            ln, present = tag >> 1, tag & 1
+            r[stat] = blob[pos:pos + ln].decode("utf-8") if present else None
+            pos += ln
+        strides.append(r)
+    return strides, pos
+
+
+def encode_column_strided(series, kind: str, index_rows: int,
+                          force_codec: str | None = None) -> dict:
+    """Encode one column as concatenated per-stride sub-encodings with a
+    stride index in ``extra`` (codec='strided'). Each stride is decodable
+    in isolation, so a predicate can skip every non-matching stride's bytes."""
+    if isinstance(series, pd.Series):
+        series = pa.Array.from_pandas(series)
+    if isinstance(series, pa.ChunkedArray):
+        series = series.combine_chunks()
+    n = len(series)
+    parts = []
+    for lo in range(0, max(n, 1), index_rows):
+        sl = series.slice(lo, min(index_rows, n - lo))
+        parts.append(encode_column(sl, kind, force_codec=force_codec))
+    streams = {s: b"".join(p[s] for p in parts) for s in _STREAMS}
+    ints_like = kind in INT_KINDS or kind in ("timestamp", "date")
+    mins = [p["min_val"] for p in parts if p["min_val"] is not None]
+    maxs = [p["max_val"] for p in parts if p["max_val"] is not None]
+    key = (lambda v: int(v)) if ints_like else (lambda v: v)
+    index = _serialize_stride_index(parts)
+    row = {
+        "col_kind": kind, "codec": "strided", "compression": "none|none",
+        "n_rows": n, "n_nulls": sum(p["n_nulls"] for p in parts),
+        "present": streams["present"], "data": streams["data"],
+        "length": streams["length"], "dict_data": streams["dict_data"],
+        "extra": index + streams["extra"],
+        "ndv": None,
+        "min_val": min(mins, key=key) if mins else None,
+        "max_val": max(maxs, key=key) if maxs else None,
+        "raw_bytes": sum(p["raw_bytes"] for p in parts),
+    }
+    row["enc_bytes"] = sum(len(row[s]) for s in _STREAMS)
+    crc = zlib.crc32(b"".join(p["checksum"].encode() for p in parts))
+    row["checksum"] = f"{crc:08x}"
+    return row
+
+
+def stride_stats(row: dict) -> list[dict]:
+    """Per-stride (n_rows, min_val, max_val) from a strided column row."""
+    strides, _ = _parse_stride_index(bytes(row["extra"]))
+    return [{"n_rows": s["n_rows"], "min_val": s["min_val"],
+             "max_val": s["max_val"]} for s in strides]
+
+
+def _strides_overlapping(row: dict, lo, hi) -> list[int]:
+    """Stride ids whose [min,max] overlaps [lo, hi] (numeric when the kind
+    is int-like, lexicographic otherwise). None stats (all-null) are kept."""
+    kind = row["col_kind"]
+    ints_like = kind in INT_KINDS or kind in ("timestamp", "date")
+    keep = []
+    for i, s in enumerate(stride_stats(row)):
+        if s["min_val"] is None or s["max_val"] is None:
+            keep.append(i)
+            continue
+        mn, mx = s["min_val"], s["max_val"]
+        if ints_like:
+            mn, mx = int(mn), int(mx)
+        if not (mx < lo or mn > hi):
+            keep.append(i)
+    return keep
+
+
+def _decode_strided_parts(row: dict, keep: list[int] | None = None):
+    """Decode selected strides of a strided column row; returns
+    (values, valid) like :func:`_decode_column_parts`, concatenated in
+    stride order. ``keep=None`` decodes every stride — only the chosen
+    strides' bytes are ever touched."""
+    kind = row["col_kind"]
+    extra_blob = bytes(row["extra"])
+    index, idx_len = _parse_stride_index(extra_blob)
+    # per-stream running offsets; the concatenated per-stride extra stream
+    # sits AFTER the serialized index inside the row's extra field
+    offs = {s: 0 for s in _STREAMS}
+    offs["extra"] = idx_len
+    slices = []
+    for meta in index:
+        sl = {s: bytes(row[s])[offs[s]:offs[s] + meta["lens"][s]]
+              for s in _STREAMS if s != "extra"}
+        sl["extra"] = extra_blob[offs["extra"]:offs["extra"] + meta["lens"]["extra"]]
+        for s in _STREAMS:
+            offs[s] += meta["lens"][s]
+        slices.append(sl)
+
+    chosen = range(len(index)) if keep is None else keep
+    vals_parts, valid_parts = [], []
+    for i in chosen:
+        meta, sl = index[i], slices[i]
+        sub = {"n_rows": meta["n_rows"], "n_nulls": meta["n_nulls"],
+               "col_kind": kind, "codec": meta["codec"],
+               "compression": meta["compression"], "ndv": meta["ndv"], **sl}
+        v, m = _decode_column_parts(sub)
+        vals_parts.append(v)
+        valid_parts.append(m)
+    return _concat_decoded(vals_parts, valid_parts, kind)
+
+
+def _concat_decoded(vals_parts: list, valid_parts: list, kind: str):
+    valid = (np.concatenate(valid_parts) if valid_parts
+             else np.zeros(0, dtype=bool))
+    if kind == "string":
+        arrs = [v if isinstance(v, pa.Array) else v.combine_chunks()
+                for v in vals_parts]
+        return (pa.concat_arrays(arrs) if arrs
+                else pa.array([], type=pa.large_utf8())), valid
+    if kind.startswith("array_float"):
+        flats = [v[0] for v in vals_parts]
+        lens = [v[1] for v in vals_parts]
+        fdt = np.float32 if kind.endswith("32") else np.float64
+        return ((np.concatenate(flats) if flats else np.zeros(0, fdt)),
+                (np.concatenate(lens) if lens else np.zeros(0, np.uint64))), valid
+    dt = {"float32": np.float32, "float64": np.float64,
+          "bool": bool}.get(kind, np.int64)
+    return (np.concatenate(vals_parts) if vals_parts
+            else np.zeros(0, dt)), valid
+
+
+def _default_arrow_type(kind: str) -> pa.DataType:
+    m = {"int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+         "int64": pa.int64(), "float32": pa.float32(), "float64": pa.float64(),
+         "bool": pa.bool_(), "string": pa.string(),
+         "timestamp": pa.timestamp("us"), "date": pa.date32(),
+         "array_float32": pa.list_(pa.float32()),
+         "array_float64": pa.list_(pa.float64())}
+    return m[kind]
+
+
 def decode_column(row: dict) -> pa.Array | np.ndarray:
     """Decode one stripe-column row back to a full-length array with nulls."""
     n = int(row["n_rows"])
     n_nulls = int(row["n_nulls"])
     kind = row["col_kind"]
+    if row["codec"] == "strided":
+        return _to_arrow_array(_decode_strided_parts(row), kind,
+                               _default_arrow_type(kind))
     if kind.startswith("array_float"):
         t = pa.list_(pa.float32() if kind.endswith("32") else pa.float64())
         return _to_arrow_array(_decode_column_parts(row), kind, t)
@@ -342,12 +536,20 @@ STRIPE_PA_SCHEMA = pa.schema([
 
 def encode_stripe_arrow(tbl: pa.Table, kinds: dict[str, str], stripe_id: str,
                         bucket: int,
-                        force_codecs: dict[str, str] | None = None) -> list[dict]:
-    """Encode one stripe from an Arrow table slice (already sorted)."""
+                        force_codecs: dict[str, str] | None = None,
+                        index_rows: int | None = None) -> list[dict]:
+    """Encode one stripe from an Arrow table slice (already sorted).
+    ``index_rows`` switches every column to the strided (row-group-indexed)
+    layout with that stride size."""
     force_codecs = force_codecs or {}
     rows = []
     for col, kind in kinds.items():
-        row = encode_column(tbl.column(col), kind, force_codec=force_codecs.get(col))
+        if index_rows:
+            row = encode_column_strided(tbl.column(col), kind, index_rows,
+                                        force_codec=force_codecs.get(col))
+        else:
+            row = encode_column(tbl.column(col), kind,
+                                force_codec=force_codecs.get(col))
         row.update(stripe_id=stripe_id, bucket=bucket, col_name=col)
         rows.append(row)
     return rows
@@ -360,23 +562,39 @@ def stripe_rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
 
 
 def decode_stripe_arrow(rows: list[dict], columns: list[str],
-                        target_schema: pa.Schema) -> pa.RecordBatch:
+                        target_schema: pa.Schema,
+                        stride_range: tuple | None = None) -> pa.RecordBatch:
     """Decode one stripe's rows into an Arrow RecordBatch matching
-    ``target_schema`` (field order == ``columns``)."""
+    ``target_schema`` (field order == ``columns``).
+
+    ``stride_range`` = (col_name, lo, hi): strided stripes decode ONLY the
+    strides whose [min,max] stats for that column overlap [lo, hi] — the
+    row-group skip. Non-matching strides' bytes are never decoded."""
     by_col = {}
     for r in rows:  # defensive dedupe (byte-identical duplicates possible)
         by_col.setdefault(r["col_name"], r)
+    keep = None
+    if stride_range is not None:
+        pred_col, lo, hi = stride_range
+        pred_row = by_col[pred_col]
+        if pred_row["codec"] == "strided":
+            keep = _strides_overlapping(pred_row, lo, hi)
     arrays = []
     for c, field in zip(columns, target_schema):
         row = by_col[c]
         kind = row["col_kind"]
-        dec = _decode_column_parts(row)
+        if keep is not None and row["codec"] == "strided":
+            dec = _decode_strided_parts(row, keep)
+        else:
+            dec = _decode_column_parts(row)
         arrays.append(_to_arrow_array(dec, kind, field.type))
     return pa.RecordBatch.from_arrays(arrays, schema=target_schema)
 
 
 def _decode_column_parts(row: dict):
     """decode_column, but returning (values, valid) without pandas."""
+    if row["codec"] == "strided":
+        return _decode_strided_parts(row)
     n = int(row["n_rows"])
     n_nulls = int(row["n_nulls"])
     kind = row["col_kind"]
