@@ -1,9 +1,16 @@
-"""Big-endian bit-packing at the reference's aligned widths.
+"""Big-endian bit-packing.
 
-The reference decoder only supports the aligned width table — other width
-codes hit ``todo!()`` (/root/reference/src/read/decode/rle_v2.rs:21-58) — so
-our encoder emits ONLY these widths, and value ``i`` occupies bits
-``[i*w, (i+1)*w)`` MSB-first (rle_v2.rs:104-123 ``unpack``).
+Our ENCODER emits only the reference's aligned width table — other width
+codes hit ``todo!()`` in the reference decoder
+(/root/reference/src/read/decode/rle_v2.rs:21-58) — and value ``i`` occupies
+bits ``[i*w, (i+1)*w)`` MSB-first (rle_v2.rs:104-123 ``unpack``).
+
+Our DECODER accepts the FULL ORC width-code table (public ORC v1 spec,
+``decodeBitWidth``): codes 0-23 map to widths 1-24, then 26/28/30/32/40/48/
+56/64 — real ORC writers (ORC C++/Java) use every width, and the interop
+reader (orc_reader.py) decodes their streams with these codecs. The aligned
+table is a consistent subset (same codes), so our own streams decode
+unchanged.
 """
 
 from __future__ import annotations
@@ -12,11 +19,28 @@ import numpy as np
 
 # width -> 5-bit header code, per rle_v2_direct_bit_width (rle_v2.rs:21-36)
 WIDTH_TO_CODE = {1: 0, 2: 1, 4: 3, 8: 7, 16: 15, 24: 23, 32: 27, 40: 28, 48: 29, 56: 30, 64: 31}
-CODE_TO_WIDTH = {c: w for w, c in WIDTH_TO_CODE.items()}
+# full ORC decodeBitWidth table: every code a real writer may emit
+CODE_TO_WIDTH = {**{c: c + 1 for c in range(24)},
+                 24: 26, 25: 28, 26: 30, 27: 32, 28: 40, 29: 48, 30: 56, 31: 64}
 ALIGNED_WIDTHS = (1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
 # delta runs use the same table with 0 -> 0 (fixed-delta) and no width 1
 # (rle_v2_delta_bit_width, rle_v2.rs:43-58)
 DELTA_WIDTHS = (0, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
+
+
+def closest_fixed_bits(n: int) -> int:
+    """ORC ``getClosestFixedBits``: 1-24 stay as-is, then the sparse tail.
+    Patch-list entries are packed at this width (it is DERIVED by readers
+    from gap+patch widths, never coded in the stream, so both sides must
+    use the spec's rounding — aligned rounding here would be out of spec)."""
+    if n <= 1:
+        return 1
+    if n <= 24:
+        return n
+    for w in (26, 28, 30, 32, 40, 48, 56, 64):
+        if n <= w:
+            return w
+    raise ValueError(f"width {n} exceeds 64")
 
 _ALIGNED_ARR = np.array(ALIGNED_WIDTHS, dtype=np.int64)
 

@@ -15,9 +15,9 @@ Decode parity with the reference decoder (/root/reference/src/read/decode/rle_v2
     (delta) (rle_v2.rs:331-415, 564-625).
 
 PatchedBase is ``todo!()`` in the reference (rle_v2.rs:459,656); implemented
-here from the public ORC v1 spec with one documented divergence: patch-list
-entries are packed at ``round_width(patch_gap_width + patch_width)`` (our
-bitpacker only supports the aligned widths the reference decoder accepts).
+here from the public ORC v1 spec: patch-list entries are packed at
+``closestFixedBits(patch_gap_width + patch_width)`` — the width is derived,
+not coded, so it must follow the spec's table for real-ORC interop.
 
 ENCODER DETERMINISM (pinned by tests): input is split into fixed frames of
 ≤512 values; per frame, in order:
@@ -186,7 +186,8 @@ def _plan_patched(v: np.ndarray, signed: bool):
     pgw = max(int(gaps.max()).bit_length(), 1)
     if pgw > 8 or pgw + pw > 64:  # combined gap+patch must fit one unit
         return None
-    entry_width = bitpack.round_width(pgw + pw)
+    # spec: readers DERIVE the patch-entry width as closestFixedBits(gap+patch)
+    entry_width = bitpack.closest_fixed_bits(pgw + pw)
     mag = abs(base)
     bw = max((mag.bit_length() + 1 + 7) // 8, 1)  # +1 sign bit
     if bw > 8:
@@ -330,7 +331,7 @@ def _dec_patched(buf, pos, signed):
     vals = bitpack.unpack(buf, W, length, offset=pos)
     pos += bitpack.packed_size(length, W)
     if pl:
-        entry_width = bitpack.round_width(pgw + pw)
+        entry_width = bitpack.closest_fixed_bits(pgw + pw)
         entries = bitpack.unpack(buf, entry_width, pl, offset=pos)
         pos += bitpack.packed_size(pl, entry_width)
         gaps = (entries >> np.uint64(pw)).astype(np.int64)

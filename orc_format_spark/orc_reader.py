@@ -1,0 +1,399 @@
+"""Real ORC file reader (pure Python, read-only interop).
+
+Parses the ORC v1 tail — PostScript / Footer / StripeFooter protobufs, the
+structure the reference reads in src/read/mod.rs:46-159 — and decodes column
+streams with THIS ENGINE'S codecs (rle_v2, boolean_rle, deflate framing),
+proving byte-level interop with files produced by the Apache ORC writers
+(tests write via pyarrow.orc == ORC C++ and read back here).
+
+Everything is from the public ORC v1 specification. The protobuf field
+numbers mirror the reference's proto.rs (itself derived from the public
+orc_proto.proto):
+  PostScript   (proto.rs Footer tail): 1 footerLength, 2 compression,
+               3 compressionBlockSize, 5 metadataLength, 8 magic
+  Footer       (proto.rs:206-217): 3 stripes, 4 types, 6 numberOfRows,
+               8 rowIndexStride
+  StripeInformation (proto.rs): 1 offset, 2 indexLength, 3 dataLength,
+               4 footerLength, 5 numberOfRows
+  Type         (proto.rs:184-203): 1 kind, 2 subtypes, 3 fieldNames
+  StripeFooter (proto.rs): 1 streams, 2 columns(encodings)
+  Stream       (proto.rs:127-136): 1 kind, 2 column, 3 length
+  ColumnEncoding (proto.rs): 1 kind, 2 dictionarySize
+
+Scope: flat top-level struct schemas; kinds boolean/byte/short/int/long/
+float/double/string/char/varchar/binary/date/timestamp/decimal. Nested
+list/map/union raise NotImplementedError with a clear message.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import boolean_rle, deflate, rle_v2, varint
+
+MAGIC = b"ORC"
+
+# Stream kinds (public orc_proto.proto)
+PRESENT, DATA, LENGTH, DICTIONARY_DATA, DICTIONARY_COUNT, SECONDARY, ROW_INDEX = range(7)
+
+# Type kinds
+_KINDS = ["boolean", "byte", "short", "int", "long", "float", "double",
+          "string", "binary", "timestamp", "list", "map", "struct", "union",
+          "decimal", "date", "varchar", "char", "timestamp_instant"]
+
+# ColumnEncoding kinds
+DIRECT, DICTIONARY, DIRECT_V2, DICTIONARY_V2 = range(4)
+
+# ORC timestamps count from 2015-01-01 00:00:00 (in the writer timezone;
+# pyarrow writes UTC)
+_TS_EPOCH_S = 1420070400
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf wire-format parser
+# ---------------------------------------------------------------------------
+
+
+def _pb_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) for one protobuf message.
+    value: int for varint(0)/fixed(1,5), bytes for length-delimited(2)."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        tag, pos = varint.decode_unsigned(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, pos = varint.decode_unsigned(buf, pos)
+        elif wt == 1:
+            v = int.from_bytes(buf[pos:pos + 8], "little")
+            pos += 8
+        elif wt == 2:
+            ln, pos = varint.decode_unsigned(buf, pos)
+            v = buf[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        yield field, wt, v
+
+
+def _pb_packed_uints(v) -> list[int]:
+    """A repeated uint field: packed bytes or a single varint value."""
+    if isinstance(v, int):
+        return [v]
+    out, pos = [], 0
+    while pos < len(v):
+        x, pos = varint.decode_unsigned(v, pos)
+        out.append(x)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tail structures
+# ---------------------------------------------------------------------------
+
+
+def _parse_postscript(buf: bytes) -> dict:
+    ps = {"compression": 0, "compressionBlockSize": 256 * 1024}
+    for f, _, v in _pb_fields(buf):
+        if f == 1:
+            ps["footerLength"] = v
+        elif f == 2:
+            ps["compression"] = v
+        elif f == 3:
+            ps["compressionBlockSize"] = v
+        elif f == 5:
+            ps["metadataLength"] = v
+        elif f == 8:
+            ps["magic"] = v
+    return ps
+
+
+def _parse_stripe_info(buf: bytes) -> dict:
+    s = {}
+    names = {1: "offset", 2: "indexLength", 3: "dataLength",
+             4: "footerLength", 5: "numberOfRows"}
+    for f, _, v in _pb_fields(buf):
+        if f in names:
+            s[names[f]] = v
+    return s
+
+
+def _parse_type(buf: bytes) -> dict:
+    t = {"subtypes": [], "fieldNames": [], "kind": 0,
+         "precision": None, "scale": None}
+    for f, _, v in _pb_fields(buf):
+        if f == 1:
+            t["kind"] = v
+        elif f == 2:
+            t["subtypes"].extend(_pb_packed_uints(v))
+        elif f == 3:
+            t["fieldNames"].append(v.decode("utf-8"))
+        elif f == 5:
+            t["precision"] = v
+        elif f == 6:
+            t["scale"] = v
+    return t
+
+
+def _parse_footer(buf: bytes) -> dict:
+    fo = {"stripes": [], "types": [], "numberOfRows": 0}
+    for f, _, v in _pb_fields(buf):
+        if f == 3:
+            fo["stripes"].append(_parse_stripe_info(v))
+        elif f == 4:
+            fo["types"].append(_parse_type(v))
+        elif f == 6:
+            fo["numberOfRows"] = v
+        elif f == 8:
+            fo["rowIndexStride"] = v
+    return fo
+
+
+def _parse_stripe_footer(buf: bytes) -> dict:
+    sf = {"streams": [], "encodings": []}
+    for f, _, v in _pb_fields(buf):
+        if f == 1:
+            st = {"kind": 0, "column": 0, "length": 0}
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 1:
+                    st["kind"] = v2
+                elif f2 == 2:
+                    st["column"] = v2
+                elif f2 == 3:
+                    st["length"] = v2
+            sf["streams"].append(st)
+        elif f == 2:
+            enc = {"kind": 0, "dictionarySize": 0}
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 1:
+                    enc["kind"] = v2
+                elif f2 == 2:
+                    enc["dictionarySize"] = v2
+            sf["encodings"].append(enc)
+    return sf
+
+
+def _decompress(buf: bytes, compression: int) -> bytes:
+    """ORC section decompression: NONE(0) passthrough, ZLIB(1) = the 3-byte
+    is-original chunk framing over raw DEFLATE (our deflate codec is the
+    byte-exact implementation of that framing, decompress/mod.rs:9-93)."""
+    if compression == 0:
+        return bytes(buf)
+    if compression == 1:
+        return deflate.decompress(bytes(buf))
+    raise NotImplementedError(
+        f"ORC compression kind {compression} (only NONE/ZLIB in this env)")
+
+
+# ---------------------------------------------------------------------------
+# column decode
+# ---------------------------------------------------------------------------
+
+
+def _streams_for(sf: dict, col: int) -> dict[int, tuple[int, int]]:
+    """column id -> {stream kind: (offset, length)} within the stripe."""
+    pos = 0
+    out = {}
+    for st in sf["streams"]:
+        if st["column"] == col and st["kind"] != ROW_INDEX:
+            out[st["kind"]] = (pos, st["length"])
+        pos += st["length"]
+    return out
+
+
+def _read_stream(stripe_buf: bytes, streams: dict, kind: int,
+                 compression: int) -> bytes:
+    if kind not in streams:
+        return b""
+    off, ln = streams[kind]
+    return _decompress(stripe_buf[off:off + ln], compression)
+
+
+def _decode_nanos(sec: np.ndarray, nano_enc: np.ndarray) -> np.ndarray:
+    """ORC timestamp: DATA = seconds from 2015-01-01, SECONDARY = nanos with
+    a 3-bit trailing-zero scale (spec: if the low 3 bits are c != 0, the
+    value was divided by 10^(c+1))."""
+    scale = (nano_enc & np.uint64(7)).astype(np.int64)
+    nanos = (nano_enc >> np.uint64(3)).astype(np.int64)
+    mult = np.where(scale == 0, 1, 10 ** (scale + 1)).astype(np.int64)
+    nanos = nanos * mult
+    us = sec * 1_000_000 + np.where(sec >= 0, nanos // 1000,
+                                    np.where(nanos > 0, nanos // 1000, 0))
+    # ORC stores negative-second timestamps with positive nanos
+    neg_fix = (sec < 0) & (nanos > 0)
+    us = np.where(neg_fix, (sec + 1) * 1_000_000 - (1_000_000 - nanos // 1000), us)
+    return us
+
+
+def _decode_varint_stream_signed(buf: bytes, n: int) -> list[int]:
+    out, pos = [], 0
+    for _ in range(n):
+        v, pos = varint.decode_signed(buf, pos)
+        out.append(v)
+    return out
+
+
+def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
+                   n_rows: int, compression: int) -> pa.Array:
+    kind = _KINDS[typ["kind"]]
+    enc = sf["encodings"][col_id]
+    streams = _streams_for(sf, col_id)
+    present = _read_stream(stripe_buf, streams, PRESENT, compression)
+    if present:
+        valid = boolean_rle.decode_bools(present, n_rows)
+        n_valid = int(valid.sum())
+    else:
+        valid = None
+        n_valid = n_rows
+    data = _read_stream(stripe_buf, streams, DATA, compression)
+
+    def _scatter(vals_arr: pa.Array) -> pa.Array:
+        if valid is None:
+            return vals_arr
+        idx = np.zeros(n_rows, dtype=np.int64)
+        idx[valid] = np.arange(n_valid)
+        return vals_arr.take(pa.array(idx, mask=~valid))
+
+    if enc["kind"] not in (DIRECT, DIRECT_V2, DICTIONARY_V2):
+        raise NotImplementedError(
+            f"ORC encoding {enc['kind']} for {kind} (v1 DICTIONARY not supported)")
+
+    if kind == "boolean":
+        vals = boolean_rle.decode_bools(data, n_valid)
+        return _scatter(pa.array(vals))
+    if kind == "byte":
+        vals = boolean_rle.decode_bytes(data, n_valid).view(np.int8)
+        return _scatter(pa.array(vals))
+    if kind in ("short", "int", "long", "date"):
+        vals = rle_v2.decode(data, n_valid, signed=True)
+        if kind == "date":
+            return _scatter(pa.array(vals.astype(np.int32)).cast(pa.date32()))
+        t = {"short": pa.int16(), "int": pa.int32(), "long": pa.int64()}[kind]
+        return _scatter(pa.array(vals).cast(t))
+    if kind in ("float", "double"):
+        dt = np.float32 if kind == "float" else np.float64
+        vals = np.frombuffer(data, dtype=f"<{'f4' if kind == 'float' else 'f8'}",
+                             count=n_valid).astype(dt, copy=False)
+        return _scatter(pa.array(vals))
+    if kind in ("string", "char", "varchar", "binary"):
+        out_type = pa.binary() if kind == "binary" else pa.string()
+        length = _read_stream(stripe_buf, streams, LENGTH, compression)
+        if enc["kind"] == DICTIONARY_V2:
+            ndv = enc["dictionarySize"]
+            dict_blob = _read_stream(stripe_buf, streams, DICTIONARY_DATA, compression)
+            dlens = rle_v2.decode(length, ndv, signed=False).astype(np.int64)
+            codes = rle_v2.decode(data, n_valid, signed=False).astype(np.int64)
+            offsets = np.zeros(ndv + 1, dtype=np.int64)
+            np.cumsum(dlens, out=offsets[1:])
+            dict_arr = pa.Array.from_buffers(
+                pa.large_binary(), ndv,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dict_blob)])
+            vals_arr = dict_arr.take(pa.array(codes)).cast(out_type)
+        else:
+            lens = rle_v2.decode(length, n_valid, signed=False).astype(np.int64)
+            offsets = np.zeros(n_valid + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            vals_arr = pa.Array.from_buffers(
+                pa.large_binary(), n_valid,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])
+            vals_arr = vals_arr.cast(out_type)
+        return _scatter(vals_arr)
+    if kind in ("timestamp", "timestamp_instant"):
+        sec = rle_v2.decode(data, n_valid, signed=True) + _TS_EPOCH_S
+        nano_enc = rle_v2.decode(
+            _read_stream(stripe_buf, streams, SECONDARY, compression),
+            n_valid, signed=False)
+        us = _decode_nanos(sec - _TS_EPOCH_S, nano_enc) + _TS_EPOCH_S * 1_000_000
+        return _scatter(pa.array(us).cast(pa.timestamp("us")))
+    if kind == "decimal":
+        scale = typ["scale"] or 0
+        prec = typ["precision"] or 38
+        mantissa = _decode_varint_stream_signed(data, n_valid)
+        import decimal as _dec
+        vals = [_dec.Decimal(m).scaleb(-scale) for m in mantissa]
+        return _scatter(pa.array(vals, type=pa.decimal128(prec, scale)))
+    raise NotImplementedError(
+        f"ORC type kind '{kind}' (nested types not supported by this reader)")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def read_orc_bytes(raw: bytes) -> pa.Table:
+    """Parse one ORC file from bytes into a pyarrow Table."""
+    if len(raw) < 4 or not raw.startswith(MAGIC):
+        raise ValueError("not an ORC file (missing header magic)")
+    ps_len = raw[-1]
+    ps = _parse_postscript(raw[-1 - ps_len:-1])
+    if ps.get("magic", b"ORC") != MAGIC:
+        raise ValueError("not an ORC file (PostScript magic mismatch)")
+    comp = ps["compression"]
+    f_end = len(raw) - 1 - ps_len
+    footer = _parse_footer(_decompress(raw[f_end - ps["footerLength"]:f_end], comp))
+
+    root = footer["types"][0]
+    if _KINDS[root["kind"]] != "struct":
+        raise NotImplementedError("ORC root type must be a struct")
+    names = root["fieldNames"]
+    col_ids = root["subtypes"]
+    for cid in col_ids:
+        k = _KINDS[footer["types"][cid]["kind"]]
+        if k in ("list", "map", "struct", "union"):
+            raise NotImplementedError(
+                f"nested ORC column type '{k}' not supported by this reader")
+
+    batches = []
+    for si in footer["stripes"]:
+        off, ilen, dlen, flen = (si["offset"], si.get("indexLength", 0),
+                                 si["dataLength"], si["footerLength"])
+        n_rows = si["numberOfRows"]
+        sf = _parse_stripe_footer(
+            _decompress(raw[off + ilen + dlen:off + ilen + dlen + flen], comp))
+        # stream offsets in _streams_for are relative to the stripe start
+        # (index streams included — we skip ROW_INDEX entries by kind)
+        stripe_buf = raw[off:off + ilen + dlen]
+        arrays = [
+            _decode_column(stripe_buf, sf, cid, footer["types"][cid],
+                           n_rows, comp)
+            for cid in col_ids]
+        batches.append(pa.RecordBatch.from_arrays(arrays, names=names))
+    if not batches:
+        # empty file: build schema-only table
+        return pa.table({n: pa.array([]) for n in names})
+    return pa.Table.from_batches(batches)
+
+
+def read_orc(path: str) -> pa.Table:
+    """Read one ORC file from disk (pure Python tail reader + our codecs)."""
+    with open(path, "rb") as f:
+        return read_orc_bytes(f.read())
+
+
+def spark_read_orc(spark, paths: list[str]):
+    """Distributed read of ORC files through THIS reader (one file per task,
+    decoded executor-side with the engine's codecs — not Spark's native ORC
+    source). For interop validation and as the migration on-ramp for users
+    arriving from the reference with .orc data on disk."""
+    from pyspark.sql import functions as F
+
+    first = read_orc(paths[0])
+    from pyspark.sql.pandas.types import from_arrow_schema
+    schema = from_arrow_schema(first.schema)
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    cores = spark.sparkContext.defaultParallelism
+    pdf = pdf.repartition(min(len(paths), cores))
+
+    def decode(batches):
+        import pyarrow as _pa
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                tbl = read_orc(p)
+                yield from tbl.to_batches()
+
+    return pdf.mapInArrow(decode, schema)
