@@ -98,6 +98,30 @@ def q_roundtrip_embeddings(spark, sf_dir):
             .select("vec_id", "pos", F.col("val").cast("double").alias("val")))
 
 
+def q_roundtrip_binary(spark, sf_dir):
+    """BINARY column kind (blob + Length stream, the ORC Kind::Binary
+    analog): text encoded to bytes, passed through the codec engine, and
+    decoded back to utf-8 for the oracle comparison."""
+    _pin(spark)
+    df = (_read(spark, sf_dir, "documents")
+          .select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob")))
+    rt = _roundtrip(spark, df, "doc_id", ["doc_id"])
+    return rt.select("doc_id", F.decode(F.col("blob"), "utf-8").alias("text"))
+
+
+def q_roundtrip_decimal(spark, sf_dir):
+    """DECIMAL(18,4) column kind (scaled-int64 mantissa through the int
+    codecs — the ORC decimal64 path), emitted as double (exact for these
+    magnitudes) for the oracle comparison."""
+    _pin(spark)
+    df = (_read(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_orderkey").cast("decimal(18,4)").alias("dec")))
+    rt = _roundtrip(spark, df, "l_orderkey", ["l_orderkey", "l_linenumber"])
+    return rt.select("l_orderkey", "l_linenumber",
+                     F.col("dec").cast("double").alias("dec"))
+
+
 def q_rle_delta_event_id(spark, sf_dir):
     """Sorted unique int64 -> RLEv2 delta path."""
     _pin(spark)
@@ -314,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_customer": q_roundtrip_customer,
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_binary": q_roundtrip_binary,
+        "roundtrip_decimal": q_roundtrip_decimal,
         "rle_delta_event_id": q_rle_delta_event_id,
         "dict_event_type": q_dict_event_type,
         "fsst_doc_text": q_fsst_doc_text,
@@ -353,6 +379,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_embeddings":
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) "
             "AS pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings",
+        "roundtrip_binary": "SELECT doc_id, text FROM documents",
+        "roundtrip_decimal":
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CAST(l_orderkey AS DECIMAL(18,4)) AS DOUBLE) AS dec FROM lineitem",
         "rle_delta_event_id": "SELECT event_id FROM events",
         "dict_event_type": "SELECT event_id, event_type FROM events",
         "fsst_doc_text": "SELECT doc_id, text FROM documents",

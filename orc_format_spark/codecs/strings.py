@@ -20,21 +20,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _to_arrow(values) -> pa.Array:
+def _to_arrow(values, binary: bool = False) -> pa.Array:
+    target = pa.large_binary() if binary else pa.large_utf8()
     if isinstance(values, pa.Array):
         arr = values
     elif isinstance(values, pa.ChunkedArray):
         arr = values.combine_chunks()
     else:
-        arr = pa.array(values, type=pa.large_utf8())
-    if arr.type != pa.large_utf8():
-        arr = arr.cast(pa.large_utf8())
+        arr = pa.array(values, type=target)
+    if arr.type != target:
+        arr = arr.cast(target)
     return arr
 
 
-def encode_direct(values) -> tuple[bytes, np.ndarray]:
-    """Non-null strings -> (utf8 blob, uint64 byte lengths)."""
-    arr = _to_arrow(values)
+def encode_direct(values, binary: bool = False) -> tuple[bytes, np.ndarray]:
+    """Non-null strings/bytes -> (blob, uint64 byte lengths). ``binary``
+    selects large_binary (no utf8 validation) — the ORC BINARY column's
+    stream layout is identical to string DirectV2."""
+    arr = _to_arrow(values, binary)
     if arr.null_count:
         arr = arr.drop_null()
     if len(arr) == 0:
@@ -48,13 +51,14 @@ def encode_direct(values) -> tuple[bytes, np.ndarray]:
     return blob, lengths
 
 
-def decode_direct(blob: bytes, lengths: np.ndarray) -> pa.Array:
-    """(blob, lengths) -> large_utf8 Array (vectorized via Arrow buffers)."""
+def decode_direct(blob: bytes, lengths: np.ndarray,
+                  binary: bool = False) -> pa.Array:
+    """(blob, lengths) -> large_utf8/large_binary Array (zero-per-row)."""
     n = len(lengths)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths.astype(np.int64), out=offsets[1:])
     return pa.Array.from_buffers(
-        pa.large_utf8(), n,
+        pa.large_binary() if binary else pa.large_utf8(), n,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
     )
 

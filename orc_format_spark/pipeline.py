@@ -52,6 +52,7 @@ STRIPE_SCHEMA = T.StructType([
     T.StructField("max_val", T.StringType()),
     T.StructField("ndv", T.LongType()),
     T.StructField("checksum", T.StringType()),
+    T.StructField("bloom", T.BinaryType()),
 ])
 
 DEFAULT_STRIPE_ROWS = 65_536
@@ -116,7 +117,8 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
                      n_rows: int | None = None,
                      force_codecs: dict[str, str] | None = None,
                      stripe_prefix: str = "",
-                     index_rows: int | None = None) -> DataFrame:
+                     index_rows: int | None = None,
+                     bloom_cols: list[str] | None = None) -> DataFrame:
     """Encode ``df`` into stripe-column rows (lazy; one shuffle).
 
     ``key_col`` groups related rows into the same stripe (conv_id);
@@ -126,6 +128,8 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
     ``index_rows`` adds a row-group index: every column is encoded in
     strides of that many rows with per-stride stats, enabling sub-stripe
     skipping at decode (see decode_dataframe's ``stride_range``).
+    ``bloom_cols`` get per-stripe distinct-value bloom filters (point-lookup
+    stripe pruning on hash-bucketed keys where min/max never prunes).
     """
     kinds = column_kinds(df)
     sort_keys = sort_keys or [k for k in (key_col, order_col) if k]
@@ -170,7 +174,8 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
             sid = f"{stripe_prefix}{int(b[lo]):08d}-{int(s[lo]):06d}"
             rows.extend(stripe_mod.encode_stripe_arrow(
                 data.slice(lo, hi - lo), kinds, sid, int(b[lo]),
-                force_codecs=force_codecs, index_rows=index_rows))
+                force_codecs=force_codecs, index_rows=index_rows,
+                bloom_cols=set(bloom_cols or ())))
         yield stripe_mod.stripe_rows_to_batch(rows)
 
     return keyed.mapInArrow(encode_partition, STRIPE_SCHEMA)
@@ -184,12 +189,22 @@ def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[
         "int64": T.LongType(), "float32": T.FloatType(), "float64": T.DoubleType(),
         "bool": T.BooleanType(), "string": T.StringType(),
         "timestamp": T.TimestampType(), "date": T.DateType(),
+        "binary": T.BinaryType(),
         "array_float32": T.ArrayType(T.FloatType()),
         "array_float64": T.ArrayType(T.DoubleType()),
     }
+
+    def to_spark(kind: str) -> T.DataType:
+        if kind in kind_to_spark:
+            return kind_to_spark[kind]
+        if kind.startswith("decimal_"):
+            _, p, s = kind.split("_")
+            return T.DecimalType(int(p), int(s))
+        raise ValueError(kind)
+
     by_name = {r["col_name"]: r["col_kind"] for r in pairs}
     cols = columns or sorted(by_name)
-    fields = [T.StructField(c, kind_to_spark[by_name[c]]) for c in cols]
+    fields = [T.StructField(c, to_spark(by_name[c])) for c in cols]
     return T.StructType(fields), cols
 
 
@@ -273,6 +288,9 @@ def build_manifest(stripes: DataFrame, key_col: str | None = None,
         if c:
             aggs.append(F.max(F.when(F.col("col_name") == c, F.col("min_val"))).alias(f"{alias}_min"))
             aggs.append(F.max(F.when(F.col("col_name") == c, F.col("max_val"))).alias(f"{alias}_max"))
+    if key_col:
+        aggs.append(F.first(F.when(F.col("col_name") == key_col, F.col("bloom")),
+                            ignorenulls=True).alias("key_bloom"))
     return stripes.groupBy("stripe_id").agg(*aggs)
 
 
@@ -374,8 +392,13 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
                key_col: str = "conv_id", order_col: str | None = "turn_idx",
                sort_keys: list[str] | None = None,
                stripe_rows: int = DEFAULT_STRIPE_ROWS,
-               n_buckets: int | None = None) -> dict:
+               n_buckets: int | None = None,
+               index_rows: int | None = None,
+               bloom_cols: list[str] | None = None) -> dict:
     """Encode ``df`` to ``out_dir``/{stripes,manifest,lineage} parquet.
+    The key column gets a per-stripe bloom filter by default (manifest
+    ``key_bloom``), enabling point-lookup stripe pruning via decode_job's
+    ``key_equals``.
 
     Idempotent resume (north_rule): stripe ids are a pure function of the
     input (bucket hash + order salt), so a rerun after a partial failure
@@ -394,8 +417,11 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
               "key_col": key_col, "order_col": order_col}
     _check_resume_params(spark, out_dir, params)
 
+    if bloom_cols is None:
+        bloom_cols = [key_col]
     stripes = encode_dataframe(df, key_col, order_col, sort_keys,
-                               stripe_rows, n_buckets)
+                               stripe_rows, n_buckets, index_rows=index_rows,
+                               bloom_cols=bloom_cols)
 
     done = completed_stripes(spark, out_dir)
     resumed = False
@@ -417,7 +443,8 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
 def decode_job(spark: SparkSession, out_dir: str,
                columns: list[str] | None = None,
                stripe_predicate=None,
-               stride_range: tuple | None = None) -> DataFrame:
+               stride_range: tuple | None = None,
+               key_equals=None) -> DataFrame:
     """Read + decode a persisted stripes table; ``stripe_predicate`` is a
     Column over the manifest (e.g. key_min/key_max bounds) used to prune
     whole stripes before any decode work — the Spark analog of the
@@ -426,7 +453,34 @@ def decode_job(spark: SparkSession, out_dir: str,
     (see decode_dataframe). Stats are strings: numeric predicates must use
     int-like key columns (stored numerically) or cast explicitly."""
     stripes = read_stripes(spark, out_dir)
-    if stripe_predicate is not None:
-        keep = read_manifest(spark, out_dir).filter(stripe_predicate).select("stripe_id")
-        stripes = stripes.join(F.broadcast(keep), "stripe_id", "left_semi")
+    if stripe_predicate is not None or key_equals is not None:
+        manifest = read_manifest(spark, out_dir)
+        if stripe_predicate is not None:
+            manifest = manifest.filter(stripe_predicate)
+        if key_equals is not None:
+            # bloom probe per manifest row — distributed (the manifest can
+            # be millions of rows at 100 TB; only the SURVIVORS come back)
+            from pyspark.sql.functions import pandas_udf
+            from . import bloom as bloom_mod
+            target = key_equals
+
+            @pandas_udf("boolean")
+            def probe(blooms: pd.Series) -> pd.Series:
+                return pd.Series([bloom_mod.might_contain(
+                    bytes(b) if b is not None else b"", target)
+                    for b in blooms])
+
+            manifest = manifest.filter(probe(F.col("key_bloom")))
+        # Iceberg-style planning: surviving stripe ids become a LITERAL
+        # IN-filter so Catalyst pushes it into the parquet scan (row-group
+        # stats skip the pruned stripes' data bytes entirely). A semi-join
+        # would read every stripe's bytes first and filter after. Fall back
+        # to the semi-join only when the survivor list itself is huge.
+        ids = [r["stripe_id"] for r in
+               manifest.select("stripe_id").limit(10_001).collect()]
+        if len(ids) <= 10_000:
+            stripes = stripes.filter(F.col("stripe_id").isin(ids))
+        else:
+            keep = manifest.select("stripe_id")
+            stripes = stripes.join(F.broadcast(keep), "stripe_id", "left_semi")
     return decode_dataframe(stripes, columns=columns, stride_range=stride_range)

@@ -11,6 +11,7 @@ holds only non-null values — tests/it/deserialize.rs:13-25).
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
@@ -25,7 +26,7 @@ STRIPE_COLUMNS = [
     "stripe_id", "bucket", "n_rows", "col_name", "col_kind", "codec",
     "compression", "present", "data", "length", "dict_data", "extra",
     "n_nulls", "raw_bytes", "enc_bytes", "min_val", "max_val", "ndv",
-    "checksum",
+    "checksum", "bloom",
 ]
 
 INT_KINDS = {"int8": np.int64, "int16": np.int64, "int32": np.int64, "int64": np.int64}
@@ -57,12 +58,25 @@ def spark_kind(dtype_str: str) -> str:
         "tinyint": "int8", "smallint": "int16", "int": "int32", "bigint": "int64",
         "float": "float32", "double": "float64", "boolean": "bool",
         "string": "string", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
-        "date": "date",
+        "date": "date", "binary": "binary",
         "array<float>": "array_float32", "array<double>": "array_float64",
     }
-    if dtype_str not in m:
-        raise ValueError(f"unsupported column type: {dtype_str}")
-    return m[dtype_str]
+    if dtype_str in m:
+        return m[dtype_str]
+    # char(n)/varchar(n): string streams (the reference's Kind::Char/Varchar,
+    # src/proto.rs:199-201 — length caps are schema metadata, not storage)
+    if dtype_str.startswith(("char(", "varchar(")):
+        return "string"
+    # decimal(p,s), p<=18: scaled-int64 mantissa through the int codecs
+    # (the ORC decimal64 path; Kind::Decimal, src/proto.rs:197)
+    mdec = re.match(r"decimal\((\d+),(\d+)\)$", dtype_str)
+    if mdec:
+        p, s = int(mdec.group(1)), int(mdec.group(2))
+        if p > 18:
+            raise ValueError(
+                f"decimal precision {p} > 18 not supported (mantissa must fit int64)")
+        return f"decimal_{p}_{s}"
+    raise ValueError(f"unsupported column type: {dtype_str}")
 
 
 def _values_and_mask(series: pd.Series, kind: str):
@@ -105,9 +119,9 @@ def _checksum(vals, valid: np.ndarray, kind: str) -> str:
     same representation the direct codec uses — so the checksum is O(bytes)
     with zero per-row Python."""
     crc = zlib.crc32(np.packbits(valid).tobytes())
-    if kind == "string":
+    if kind in ("string", "binary"):
         from .codecs import strings as _s
-        blob, lengths = _s.encode_direct(vals)
+        blob, lengths = _s.encode_direct(vals, binary=(kind == "binary"))
         crc = zlib.crc32(blob, crc)
         crc = zlib.crc32(lengths.astype("<u8").tobytes(), crc)
     elif isinstance(vals, tuple):  # list column: (flat values, lengths)
@@ -137,6 +151,16 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
         vals = nn.to_numpy(zero_copy_only=False)
     elif kind == "string":
         vals = nn  # Arrow array; string codecs consume it directly
+    elif kind == "binary":
+        vals = nn  # Arrow binary array; direct codec consumes it
+    elif kind.startswith("decimal_"):
+        # decimal128 -> int64 mantissa: low 8 LE bytes of each 16-byte value
+        # (precision <= 18 guarantees the mantissa fits)
+        if isinstance(nn, pa.ChunkedArray):
+            nn = nn.combine_chunks()
+        raw = np.frombuffer(nn.buffers()[1], dtype=np.int64,
+                            count=2 * (len(nn) + nn.offset))
+        vals = raw.reshape(-1, 2)[nn.offset:, 0].copy()
     elif kind.startswith("array_float"):
         # embedding columns: (flat values, per-row lengths) — the ORC
         # List layout (Length stream + child Data stream)
@@ -149,9 +173,11 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
     return vals, valid
 
 
-def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
+def encode_column(series, kind: str, force_codec: str | None = None,
+                  with_bloom: bool = False) -> dict:
     """Encode one column of one stripe; returns a stripe-column row dict.
-    Accepts a pandas Series or an Arrow (Chunked)Array."""
+    Accepts a pandas Series or an Arrow (Chunked)Array. ``with_bloom``
+    attaches a distinct-value bloom (point-lookup stripe pruning)."""
     n = len(series)
     if kind.startswith("array_") and not isinstance(series, (pa.Array, pa.ChunkedArray)):
         series = pa.Array.from_pandas(series)
@@ -164,9 +190,9 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
         "col_kind": kind, "n_rows": n, "n_nulls": n_nulls,
         "present": boolean_rle.encode_bools(valid) if n_nulls else b"",
         "length": b"", "dict_data": b"", "extra": b"", "ndv": None,
-        "min_val": None, "max_val": None,
+        "min_val": None, "max_val": None, "bloom": b"",
     }
-    if kind in INT_KINDS or kind in ("timestamp", "date"):
+    if kind in INT_KINDS or kind in ("timestamp", "date") or kind.startswith("decimal_"):
         codec, data, extra = selector.encode_ints(vals)
         row.update(codec=codec, data=data, extra=extra)
         if len(vals):
@@ -201,6 +227,12 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
             # against key_min/key_max must cast (documented in decode_job).
             row.update(min_val=str(lo)[:_STAT_MAX_CHARS],
                        max_val=_stat_upper_bound(str(hi)))
+    elif kind == "binary":
+        from .codecs import strings as _s
+        blob, lengths = _s.encode_direct(vals, binary=True)
+        row.update(codec="bin_direct", data=blob,
+                   length=rle_v2.encode(lengths, signed=False))
+        raw = len(blob) + 8 * len(lengths)
     elif kind.startswith("array_float"):
         flat, lengths = vals
         fdtype = "float32" if kind.endswith("32") else "float64"
@@ -219,6 +251,10 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
     row["raw_bytes"] = raw
     row["enc_bytes"] = sum(len(row[k]) for k in ("present", "data", "length", "dict_data", "extra"))
     row["checksum"] = _checksum(vals, valid, kind)
+    if with_bloom and not isinstance(vals, tuple):
+        from . import bloom as bloom_mod
+        row["bloom"] = bloom_mod.build(vals)
+        row["enc_bytes"] += len(row["bloom"])
     return row
 
 
@@ -233,7 +269,7 @@ def encode_column(series, kind: str, force_codec: str | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 _CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
-              "str_direct", "str_dict", "str_fsst", "float_list"]
+              "str_direct", "str_dict", "str_fsst", "float_list", "bin_direct"]
 _STREAMS = ("present", "data", "length", "dict_data", "extra")
 
 
@@ -288,7 +324,8 @@ def _parse_stride_index(blob: bytes) -> list[dict]:
 
 
 def encode_column_strided(series, kind: str, index_rows: int,
-                          force_codec: str | None = None) -> dict:
+                          force_codec: str | None = None,
+                          with_bloom: bool = False) -> dict:
     """Encode one column as concatenated per-stride sub-encodings with a
     stride index in ``extra`` (codec='strided'). Each stride is decodable
     in isolation, so a predicate can skip every non-matching stride's bytes."""
@@ -302,7 +339,8 @@ def encode_column_strided(series, kind: str, index_rows: int,
         sl = series.slice(lo, min(index_rows, n - lo))
         parts.append(encode_column(sl, kind, force_codec=force_codec))
     streams = {s: b"".join(p[s] for p in parts) for s in _STREAMS}
-    ints_like = kind in INT_KINDS or kind in ("timestamp", "date")
+    ints_like = (kind in INT_KINDS or kind in ("timestamp", "date")
+                 or kind.startswith("decimal_"))
     mins = [p["min_val"] for p in parts if p["min_val"] is not None]
     maxs = [p["max_val"] for p in parts if p["max_val"] is not None]
     key = (lambda v: int(v)) if ints_like else (lambda v: v)
@@ -318,7 +356,15 @@ def encode_column_strided(series, kind: str, index_rows: int,
         "max_val": max(maxs, key=key) if maxs else None,
         "raw_bytes": sum(p["raw_bytes"] for p in parts),
     }
-    row["enc_bytes"] = sum(len(row[s]) for s in _STREAMS)
+    row["bloom"] = b""
+    if with_bloom:
+        from . import bloom as bloom_mod
+        vals_all, _ = (_values_and_mask_arrow(series, kind)
+                       if isinstance(series, (pa.Array, pa.ChunkedArray))
+                       else _values_and_mask(series, kind))
+        if not isinstance(vals_all, tuple):
+            row["bloom"] = bloom_mod.build(vals_all)
+    row["enc_bytes"] = sum(len(row[s]) for s in _STREAMS) + len(row["bloom"])
     crc = zlib.crc32(b"".join(p["checksum"].encode() for p in parts))
     row["checksum"] = f"{crc:08x}"
     return row
@@ -335,7 +381,8 @@ def _strides_overlapping(row: dict, lo, hi) -> list[int]:
     """Stride ids whose [min,max] overlaps [lo, hi] (numeric when the kind
     is int-like, lexicographic otherwise). None stats (all-null) are kept."""
     kind = row["col_kind"]
-    ints_like = kind in INT_KINDS or kind in ("timestamp", "date")
+    ints_like = (kind in INT_KINDS or kind in ("timestamp", "date")
+                 or kind.startswith("decimal_"))
     keep = []
     for i, s in enumerate(stride_stats(row)):
         if s["min_val"] is None or s["max_val"] is None:
@@ -386,11 +433,12 @@ def _decode_strided_parts(row: dict, keep: list[int] | None = None):
 def _concat_decoded(vals_parts: list, valid_parts: list, kind: str):
     valid = (np.concatenate(valid_parts) if valid_parts
              else np.zeros(0, dtype=bool))
-    if kind == "string":
+    if kind in ("string", "binary"):
         arrs = [v if isinstance(v, pa.Array) else v.combine_chunks()
                 for v in vals_parts]
+        empty_t = pa.large_binary() if kind == "binary" else pa.large_utf8()
         return (pa.concat_arrays(arrs) if arrs
-                else pa.array([], type=pa.large_utf8())), valid
+                else pa.array([], type=empty_t)), valid
     if kind.startswith("array_float"):
         flats = [v[0] for v in vals_parts]
         lens = [v[1] for v in vals_parts]
@@ -409,8 +457,13 @@ def _default_arrow_type(kind: str) -> pa.DataType:
          "bool": pa.bool_(), "string": pa.string(),
          "timestamp": pa.timestamp("us"), "date": pa.date32(),
          "array_float32": pa.list_(pa.float32()),
-         "array_float64": pa.list_(pa.float64())}
-    return m[kind]
+         "array_float64": pa.list_(pa.float64()), "binary": pa.binary()}
+    if kind in m:
+        return m[kind]
+    mdec = re.match(r"decimal_(\d+)_(\d+)$", kind)
+    if mdec:
+        return pa.decimal128(int(mdec.group(1)), int(mdec.group(2)))
+    raise ValueError(kind)
 
 
 def decode_column(row: dict) -> pa.Array | np.ndarray:
@@ -530,26 +583,31 @@ STRIPE_PA_SCHEMA = pa.schema([
     ("dict_data", pa.binary()), ("extra", pa.binary()),
     ("n_nulls", pa.int64()), ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
     ("min_val", pa.string()), ("max_val", pa.string()), ("ndv", pa.int64()),
-    ("checksum", pa.string()),
+    ("checksum", pa.string()), ("bloom", pa.binary()),
 ])
 
 
 def encode_stripe_arrow(tbl: pa.Table, kinds: dict[str, str], stripe_id: str,
                         bucket: int,
                         force_codecs: dict[str, str] | None = None,
-                        index_rows: int | None = None) -> list[dict]:
+                        index_rows: int | None = None,
+                        bloom_cols: set[str] | None = None) -> list[dict]:
     """Encode one stripe from an Arrow table slice (already sorted).
     ``index_rows`` switches every column to the strided (row-group-indexed)
-    layout with that stride size."""
+    layout with that stride size; ``bloom_cols`` get per-stripe blooms."""
     force_codecs = force_codecs or {}
+    bloom_cols = bloom_cols or set()
     rows = []
     for col, kind in kinds.items():
+        wb = col in bloom_cols
         if index_rows:
             row = encode_column_strided(tbl.column(col), kind, index_rows,
-                                        force_codec=force_codecs.get(col))
+                                        force_codec=force_codecs.get(col),
+                                        with_bloom=wb)
         else:
             row = encode_column(tbl.column(col), kind,
-                                force_codec=force_codecs.get(col))
+                                force_codec=force_codecs.get(col),
+                                with_bloom=wb)
         row.update(stripe_id=stripe_id, bucket=bucket, col_name=col)
         rows.append(row)
     return rows
@@ -605,7 +663,8 @@ def _decode_column_parts(row: dict):
              else np.ones(n, dtype=bool))
     n_valid = n - n_nulls
     codec = row["codec"]
-    if kind in INT_KINDS or kind in ("timestamp", "date"):
+    if (kind in INT_KINDS or kind in ("timestamp", "date")
+            or kind.startswith("decimal_")):
         vals = selector.decode_ints(codec, data, row["extra"], n_valid)
     elif kind in ("float32", "float64"):
         vals = floats.decode(data, n_valid, kind)
@@ -615,6 +674,10 @@ def _decode_column_parts(row: dict):
         arr = selector.decode_strings(codec, data, row["length"], dict_data,
                                       row["extra"], n_valid, row["ndv"])
         return arr, valid
+    elif kind == "binary":
+        from .codecs import strings as _s
+        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
+        return _s.decode_direct(data, lengths, binary=True), valid
     elif kind.startswith("array_float"):
         fdtype = "float32" if kind.endswith("32") else "float64"
         lengths = rle_v2.decode(row["length"], n_valid, signed=False)
@@ -644,7 +707,7 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
             idx[valid] = np.arange(n_valid)
             lists = lists.take(pa.array(idx, mask=~valid))
         return lists.cast(target_type)
-    if kind == "string":
+    if kind in ("string", "binary"):
         if n_valid == n:
             out = vals
         else:
@@ -652,6 +715,18 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
             idx[valid] = np.arange(n_valid)
             out = vals.take(pa.array(idx, mask=~valid))
         return out.cast(target_type)
+    if kind.startswith("decimal_"):
+        # int64 mantissa -> decimal128 buffers (low = mantissa, high = sign)
+        full = np.zeros(n, dtype=np.int64)
+        full[valid] = vals
+        words = np.empty((n, 2), dtype=np.int64)
+        words[:, 0] = full
+        words[:, 1] = full >> 63
+        validity = None if n_valid == n else pa.py_buffer(
+            np.packbits(valid, bitorder="little").tobytes())
+        arr = pa.Array.from_buffers(target_type, n,
+                                    [validity, pa.py_buffer(words.tobytes())])
+        return arr
     # numeric/bool/temporal: scatter into a full-length buffer, mask nulls
     if n_valid == n:
         full = vals

@@ -1,0 +1,66 @@
+"""Per-stripe bloom filters: point-lookup stripe pruning on hash-bucketed
+keys (the BloomFilter-stream analog, reference src/proto.rs:100-111)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orc_format_spark import bloom, pipeline, transcripts
+
+
+def test_bloom_membership_and_fp_rate():
+    keys = [f"conv-{i:06d}" for i in range(2000)]
+    blob = bloom.build(keys)
+    assert all(bloom.might_contain(blob, k) for k in keys)  # no false negatives
+    probes = [f"absent-{i:06d}" for i in range(5000)]
+    fp = sum(bloom.might_contain(blob, p) for p in probes) / len(probes)
+    assert fp < 0.02, f"false-positive rate too high: {fp}"
+    assert len(blob) <= 8 * 1024  # ~1.5 bits/key/8 per byte + pow2 rounding
+
+
+def test_bloom_int_keys():
+    vals = np.arange(0, 100000, 7, dtype=np.int64)
+    blob = bloom.build(vals)
+    assert bloom.might_contain(blob, 7) and bloom.might_contain(blob, 99995)
+    misses = sum(bloom.might_contain(blob, int(v)) for v in range(1, 5000, 7))
+    assert misses < 100  # mostly pruned
+
+
+def test_empty_bloom_never_prunes():
+    assert bloom.might_contain(b"", "anything") is True
+
+
+def test_point_lookup_prunes_stripes(spark, tmp_path):
+    """decode_job(key_equals=...): only bloom-matching stripes are decoded;
+    the result still contains exactly the looked-up conversation."""
+    out = str(tmp_path / "enc")
+    df = transcripts.generate(spark, n_convs=300, seed=21)
+    pipeline.encode_job(spark, df, out, stripe_rows=500, n_buckets=16)
+
+    target = df.select("conv_id").first()["conv_id"]
+    got = (pipeline.decode_job(spark, out, key_equals=target)
+           .filter(F.col("conv_id") == target)
+           .orderBy("turn_idx").toPandas())
+    exp = (df.filter(F.col("conv_id") == target)
+           .orderBy("turn_idx").toPandas())
+    import pandas as pd
+    pd.testing.assert_frame_equal(exp.reset_index(drop=True),
+                                  got[exp.columns.tolist()].reset_index(drop=True),
+                                  check_dtype=False)
+
+    # pruning really happens: the bloom probe keeps only a small fraction
+    # of the 16 stripes (hash-bucketed conv_ids -> min/max never prunes)
+    manifest = pipeline.read_manifest(spark, out).toPandas()
+    hits = sum(bloom.might_contain(
+        bytes(b) if b is not None else b"", target)
+        for b in manifest["key_bloom"])
+    assert hits <= 3, f"bloom pruned nothing: {hits}/16 stripes survive"
+    assert hits >= 1
+
+
+def test_absent_key_prunes_everything(spark, tmp_path):
+    out = str(tmp_path / "enc2")
+    df = transcripts.generate(spark, n_convs=100, seed=22)
+    pipeline.encode_job(spark, df, out, stripe_rows=500, n_buckets=8)
+    got = pipeline.decode_job(spark, out, key_equals="no-such-conversation")
+    assert got.count() == 0
