@@ -2,12 +2,16 @@
 
 ``queries()`` covers the engine's operator inventory (SURVEY.md §2): every
 codec path (RLEv2 delta/direct/patched, dictionary, FSST, direct strings,
-Present-stream nulls, floats, timestamps) is exercised as an
-encode→decode round-trip whose oracle is a plain SELECT (decode∘encode ≡
-identity), plus the training-data pipeline operators (dedup, similarity,
-text analysis, multimodal plumbing). Non-SQL-expressible ops (minhash/
-simhash/LSH internals, language-ID) ship without oracle_sql and get the
-driver's rows-only check.
+binary, decimal, Present-stream nulls, floats, timestamps, float lists) is
+exercised as an encode→decode round-trip whose oracle is a plain SELECT
+(decode∘encode ≡ identity), plus stride (row-group) pruned lookup, plus the
+training-data pipeline operators (dedup, similarity, text analysis,
+multimodal plumbing). Approximate ops are made oracle-checkable by
+construction: dedup_minhash at threshold 0.9 where banded-LSH recall is
+1-3e-12 against the all-pairs jaccard SQL; embedding_dups / ann_lsh_topk
+with planted exact duplicates (identical vectors collide in every LSH
+table, recall 1.0). Only codec_selection (engine metadata), simhash and
+fingerprint (hash-identity outputs) remain rows-only.
 """
 
 from __future__ import annotations

@@ -268,6 +268,62 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     return pruned.mapInArrow(decode_partition, schema)
 
 
+def decode_job_clustered(spark: SparkSession, out_dir: str,
+                         columns: list[str] | None = None) -> DataFrame:
+    """SHUFFLE-FREE decode of a persisted stripes table.
+
+    The encode tasks emit whole stripes (every column of a stripe leaves
+    one task in one batch), so each parquet file under ``stripes/`` holds
+    only complete stripes. This path reads ONE FILE PER TASK with pyarrow
+    (col_name pushdown applied at the parquet row-group level) and decodes
+    partition-locally — zero exchanges, vs decode_job's one shuffle on
+    stripe_id. The completeness invariant is asserted per stripe and a
+    clear error names this function if the table was re-written by
+    something other than commit().
+
+    At 100 TB this removes the single largest data movement in the read
+    path: the encoded bytes never cross the network at all.
+    """
+    import glob as _glob
+    schema, columns = infer_schema(read_stripes(spark, out_dir), columns)
+    base = out_dir[7:] if out_dir.startswith("file://") else out_dir
+    paths = sorted(_glob.glob(f"{base}/stripes/run=*/part-*.parquet"))
+    if not paths:
+        raise ValueError(f"no stripe files under {out_dir}/stripes")
+    cores = spark.sparkContext.defaultParallelism
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    pdf = pdf.repartition(min(len(paths), cores * 2))
+
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        target_schema = to_arrow_schema(schema, timezone=tz)
+    except TypeError:
+        target_schema = to_arrow_schema(schema)
+    want = list(columns)
+
+    def decode_files(batches):
+        import pyarrow.parquet as pq
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                tbl = pq.read_table(p, filters=[("col_name", "in", want)])
+                rows = tbl.to_pylist()
+                by_stripe: dict[str, list] = {}
+                for r in rows:
+                    by_stripe.setdefault(r["stripe_id"], []).append(r)
+                for sid, srows in by_stripe.items():
+                    have = {r["col_name"] for r in srows}
+                    if not set(want) <= have:
+                        raise ValueError(
+                            f"stripe {sid} split across files (missing "
+                            f"{set(want) - have}); the stripes table was not "
+                            "written by commit() — use decode_job instead")
+                    yield stripe_mod.decode_stripe_arrow(srows, want,
+                                                         target_schema)
+
+    return pdf.mapInArrow(decode_files, schema)
+
+
 def build_manifest(stripes: DataFrame, key_col: str | None = None,
                    order_col: str | None = None) -> DataFrame:
     """Footer-style per-stripe index (the FileMetadata/StripeInformation +

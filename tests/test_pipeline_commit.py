@@ -63,6 +63,20 @@ def test_replayed_append_does_not_double_manifest_stats(spark, df, tmp_path):
                                   check_dtype=False)
 
 
+def test_clustered_decode_matches_shuffle_decode(spark, df, tmp_path):
+    """decode_job_clustered (zero data shuffle, one file per task) returns
+    the same multiset as the shuffle decode, and prunes columns."""
+    out = str(tmp_path / "enc_clustered")
+    pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6)
+    a = pipeline.decode_job(spark, out)
+    b = pipeline.decode_job_clustered(spark, out)
+    assert a.select(a.columns).exceptAll(b.select(a.columns)).count() == 0
+    assert b.select(a.columns).exceptAll(a.select(a.columns)).count() == 0
+    pruned = pipeline.decode_job_clustered(spark, out, columns=["conv_id", "turn_idx"])
+    assert pruned.columns == ["conv_id", "turn_idx"]
+    assert pruned.count() == df.count()
+
+
 def test_resume_param_mismatch_raises(spark, df, tmp_path):
     out = str(tmp_path / "enc_params")
     pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6)
