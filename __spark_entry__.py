@@ -126,6 +126,23 @@ def q_roundtrip_decimal(spark, sf_dir):
                      F.col("dec").cast("double").alias("dec"))
 
 
+def q_orc_file_roundtrip(spark, sf_dir):
+    """REAL ORC file round-trip: documents written to an actual .orc file
+    by our pure-Python writer (engine codecs + protobuf tail), read back by
+    our tail reader, distributed via spark_read_orc. Bidirectional interop
+    with Apache ORC is pinned by tests/test_orc_writer.py (the Apache C++
+    reader reads these files bit-identically)."""
+    _pin(spark)
+    import tempfile, os
+    import pyarrow.parquet as pq
+    from orc_format_spark import orc_reader, orc_writer
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang", "n_chars"])
+    path = os.path.join(tempfile.mkdtemp(prefix="orcrt"), "docs.orc")
+    orc_writer.write_orc(tbl, path, compression="zlib", stripe_rows=200)
+    return orc_reader.spark_read_orc(spark, [path])
+
+
 def q_rle_delta_event_id(spark, sf_dir):
     """Sorted unique int64 -> RLEv2 delta path."""
     _pin(spark)
@@ -344,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_binary": q_roundtrip_binary,
         "roundtrip_decimal": q_roundtrip_decimal,
+        "orc_file_roundtrip": q_orc_file_roundtrip,
         "rle_delta_event_id": q_rle_delta_event_id,
         "dict_event_type": q_dict_event_type,
         "fsst_doc_text": q_fsst_doc_text,
@@ -384,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) "
             "AS pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings",
         "roundtrip_binary": "SELECT doc_id, text FROM documents",
+        "orc_file_roundtrip":
+            "SELECT doc_id, text, lang, n_chars FROM documents",
         "roundtrip_decimal":
             "SELECT l_orderkey, l_linenumber, "
             "CAST(CAST(l_orderkey AS DECIMAL(18,4)) AS DOUBLE) AS dec FROM lineitem",
