@@ -126,6 +126,26 @@ def q_roundtrip_decimal(spark, sf_dir):
                      F.col("dec").cast("double").alias("dec"))
 
 
+def q_roundtrip_nested(spark, sf_dir):
+    """Nested kinds: struct (flattened to leaves + hidden Present, the ORC
+    struct model) and array<string>/array<bigint> (Length + child streams)
+    through the codec engine, projected back to oracle-comparable flats."""
+    _pin(spark)
+    df = (_read(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.struct(F.col("lang"), F.col("source")).alias("meta"),
+                  F.split("text", " ").alias("tokens"),
+                  F.array(F.col("n_chars"),
+                          F.length("text").cast("long")).alias("nums")))
+    rt = _roundtrip(spark, df, "doc_id", ["doc_id"])
+    return rt.select(
+        "doc_id", F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.size("tokens").alias("n_tokens"),
+        F.element_at("tokens", 1).alias("tok0"),
+        F.element_at("nums", 1).alias("n_chars"))
+
+
 def q_orc_file_roundtrip(spark, sf_dir):
     """REAL ORC file round-trip: documents written to an actual .orc file
     by our pure-Python writer (engine codecs + protobuf tail), read back by
@@ -362,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_binary": q_roundtrip_binary,
         "roundtrip_decimal": q_roundtrip_decimal,
         "orc_file_roundtrip": q_orc_file_roundtrip,
+        "roundtrip_nested": q_roundtrip_nested,
         "rle_delta_event_id": q_rle_delta_event_id,
         "dict_event_type": q_dict_event_type,
         "fsst_doc_text": q_fsst_doc_text,
@@ -404,6 +425,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_binary": "SELECT doc_id, text FROM documents",
         "orc_file_roundtrip":
             "SELECT doc_id, text, lang, n_chars FROM documents",
+        "roundtrip_nested":
+            "SELECT doc_id, lang, source, "
+            "CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens, "
+            "string_split(text, ' ')[1] AS tok0, n_chars FROM documents",
         "roundtrip_decimal":
             "SELECT l_orderkey, l_linenumber, "
             "CAST(CAST(l_orderkey AS DECIMAL(18,4)) AS DOUBLE) AS dec FROM lineitem",

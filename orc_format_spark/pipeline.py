@@ -77,6 +77,87 @@ def column_kinds(df: DataFrame) -> dict[str, str]:
             for f in df.schema.fields}
 
 
+# struct-leaf name separator: a middle dot, NOT ".", because pyspark's
+# mapInArrow resolves columns via df[name] and a "." would re-parse as
+# struct field access on the already-flattened frame
+_STRUCT_SEP = "\u00b7"
+
+
+def _flatten_struct_cols(df: DataFrame) -> DataFrame:
+    """Struct columns -> leaf columns (``s·a``), the ORC model: structs own
+    no data streams, only their leaves do (the reference's Kind::Struct,
+    src/proto.rs:195, is subtype plumbing). One level deep; the leaf
+    columns round-trip through the codecs like any other column and decode
+    reassembles the struct from the schema."""
+    if not any(isinstance(f.dataType, T.StructType) for f in df.schema.fields):
+        return df
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            # the struct's own Present stream: a hidden boolean leaf (ORC
+            # gives struct columns exactly one stream — Present)
+            cols.append(F.col(f.name).isNotNull()
+                        .alias(f"{f.name}{_STRUCT_SEP}__present__"))
+            for sub in f.dataType.fields:
+                if isinstance(sub.dataType, T.StructType):
+                    raise ValueError(
+                        f"struct column {f.name!r} nests deeper than one "
+                        "level — not supported")
+                cols.append(F.col(f"{f.name}.{sub.name}")
+                            .alias(f"{f.name}{_STRUCT_SEP}{sub.name}"))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(cols)
+
+
+def _flat_schema(schema: T.StructType) -> T.StructType:
+    fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            fields.append(T.StructField(
+                f"{f.name}{_STRUCT_SEP}__present__", T.BooleanType()))
+            for sub in f.dataType.fields:
+                fields.append(T.StructField(
+                    f"{f.name}{_STRUCT_SEP}{sub.name}", sub.dataType))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def _nest_schema(flat: T.StructType) -> T.StructType:
+    """Inverse of _flat_schema: rebuild struct fields from ``s·leaf`` names
+    (used when decoding a persisted nested encode without a caller schema).
+    Field order inside each struct follows the flat column order."""
+    fields: list[T.StructField] = []
+    structs: dict[str, list[T.StructField]] = {}
+    for f in flat.fields:
+        if _STRUCT_SEP in f.name:
+            parent, leaf = f.name.split(_STRUCT_SEP, 1)
+            if leaf == "__present__":
+                structs.setdefault(parent, [])
+                continue
+            structs.setdefault(parent, []).append(
+                T.StructField(leaf, f.dataType))
+            continue
+        fields.append(f)
+    for parent, subs in structs.items():
+        fields.append(T.StructField(parent, T.StructType(subs)))
+    return T.StructType(fields)
+
+
+def _reassemble_structs(df: DataFrame, schema: T.StructType) -> DataFrame:
+    cols = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            parts = [F.col(f"`{f.name}{_STRUCT_SEP}{sub.name}`").alias(sub.name)
+                     for sub in f.dataType.fields]
+            present = F.col(f"`{f.name}{_STRUCT_SEP}__present__`")
+            cols.append(F.when(present, F.struct(*parts)).alias(f.name))
+        else:
+            cols.append(F.col(f"`{f.name}`"))
+    return df.select(cols)
+
+
 def _estimate_rows(df: DataFrame) -> int | None:
     """Row count from parquet FOOTERS when ``df`` is file-backed — metadata
     only, no data scan (kills the count() pre-pass the encode job used to
@@ -130,7 +211,9 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
     skipping at decode (see decode_dataframe's ``stride_range``).
     ``bloom_cols`` get per-stripe distinct-value bloom filters (point-lookup
     stripe pruning on hash-bucketed keys where min/max never prunes).
+    Struct columns are flattened to their leaves (see _flatten_struct_cols).
     """
+    df = _flatten_struct_cols(df)
     kinds = column_kinds(df)
     sort_keys = sort_keys or [k for k in (key_col, order_col) if k]
     if n_buckets is None:
@@ -192,6 +275,8 @@ def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[
         "binary": T.BinaryType(),
         "array_float32": T.ArrayType(T.FloatType()),
         "array_float64": T.ArrayType(T.DoubleType()),
+        "array_int64": T.ArrayType(T.LongType()),
+        "array_string": T.ArrayType(T.StringType()),
     }
 
     def to_spark(kind: str) -> T.DataType:
@@ -223,8 +308,17 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     overlaps [lo, hi] (sub-stripe skipping). The caller applies the exact
     residual predicate; strides are a superset of matching rows.
     """
+    nested_schema = None
+    if schema is not None and any(
+            isinstance(f.dataType, T.StructType) for f in schema.fields):
+        nested_schema = schema
+        schema = _flat_schema(schema)
+        columns = [f.name for f in schema.fields]
     if schema is None:
         schema, columns = infer_schema(stripes, columns)
+        if any(_STRUCT_SEP in c for c in columns):
+            # struct leaves persisted without a caller schema: re-nest them
+            nested_schema = _nest_schema(schema)
     elif columns is None:
         columns = [f.name for f in schema.fields]
     scan_cols = list(columns)
@@ -265,7 +359,10 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
             yield stripe_mod.decode_stripe_arrow(rows, columns, target_schema,
                                                  stride_range=stride_range)
 
-    return pruned.mapInArrow(decode_partition, schema)
+    out = pruned.mapInArrow(decode_partition, schema)
+    if nested_schema is not None:
+        out = _reassemble_structs(out, nested_schema)
+    return out
 
 
 def decode_job_clustered(spark: SparkSession, out_dir: str,

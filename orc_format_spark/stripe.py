@@ -60,6 +60,8 @@ def spark_kind(dtype_str: str) -> str:
         "string": "string", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
         "date": "date", "binary": "binary",
         "array<float>": "array_float32", "array<double>": "array_float64",
+        "array<bigint>": "array_int64", "array<int>": "array_int64",
+        "array<string>": "array_string",
     }
     if dtype_str in m:
         return m[dtype_str]
@@ -125,7 +127,14 @@ def _checksum(vals, valid: np.ndarray, kind: str) -> str:
         crc = zlib.crc32(blob, crc)
         crc = zlib.crc32(lengths.astype("<u8").tobytes(), crc)
     elif isinstance(vals, tuple):  # list column: (flat values, lengths)
-        crc = zlib.crc32(np.ascontiguousarray(vals[0]).tobytes(), crc)
+        flat = vals[0]
+        if isinstance(flat, (pa.Array, pa.ChunkedArray)):
+            from .codecs import strings as _s
+            blob, slens = _s.encode_direct(flat)
+            crc = zlib.crc32(blob, crc)
+            crc = zlib.crc32(slens.astype("<u8").tobytes(), crc)
+        else:
+            crc = zlib.crc32(np.ascontiguousarray(flat).tobytes(), crc)
         crc = zlib.crc32(vals[1].astype("<u8").tobytes(), crc)
     else:
         crc = zlib.crc32(np.ascontiguousarray(vals).tobytes(), crc)
@@ -161,12 +170,16 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
         raw = np.frombuffer(nn.buffers()[1], dtype=np.int64,
                             count=2 * (len(nn) + nn.offset))
         vals = raw.reshape(-1, 2)[nn.offset:, 0].copy()
-    elif kind.startswith("array_float"):
-        # embedding columns: (flat values, per-row lengths) — the ORC
+    elif kind.startswith("array_"):
+        # list columns: (flat child values, per-row lengths) — the ORC
         # List layout (Length stream + child Data stream)
         import pyarrow.compute as pc
         lengths = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.uint64)
-        flat = nn.flatten().to_numpy(zero_copy_only=False)
+        flat = nn.flatten()
+        if kind != "array_string":
+            flat = flat.to_numpy(zero_copy_only=False)
+            if kind == "array_int64":
+                flat = flat.astype(np.int64, copy=False)
         vals = (flat, lengths)
     else:
         raise ValueError(kind)
@@ -239,6 +252,22 @@ def encode_column(series, kind: str, force_codec: str | None = None,
         row.update(codec="float_list", data=floats.encode(flat, fdtype),
                    length=rle_v2.encode(lengths, signed=False))
         raw = int(flat.nbytes) + 8 * len(lengths)
+    elif kind == "array_int64":
+        flat, lengths = vals
+        codec, data, extra = selector.encode_ints(flat)
+        row.update(codec=f"int_list:{codec}", data=data, extra=extra,
+                   length=rle_v2.encode(lengths, signed=False))
+        raw = int(flat.nbytes) + 8 * len(lengths)
+    elif kind == "array_string":
+        # List<string>: list-lengths in Length, child blob in Data, child
+        # byte-lengths in DictData (an otherwise-unused stream for lists)
+        from .codecs import strings as _s
+        flat, lengths = vals
+        blob, slens = _s.encode_direct(flat)
+        row.update(codec="str_list", data=blob,
+                   dict_data=rle_v2.encode(slens, signed=False),
+                   length=rle_v2.encode(lengths, signed=False))
+        raw = len(blob) + 8 * len(slens) + 8 * len(lengths)
     else:
         raise ValueError(kind)
     # generic block-compression layer on the big streams (is-original escape
@@ -269,7 +298,9 @@ def encode_column(series, kind: str, force_codec: str | None = None,
 # ---------------------------------------------------------------------------
 
 _CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
-              "str_direct", "str_dict", "str_fsst", "float_list", "bin_direct"]
+              "str_direct", "str_dict", "str_fsst", "float_list", "bin_direct",
+              "int_list:rle_v2", "int_list:for", "int_list:for_scale",
+              "str_list"]
 _STREAMS = ("present", "data", "length", "dict_data", "extra")
 
 
@@ -439,11 +470,18 @@ def _concat_decoded(vals_parts: list, valid_parts: list, kind: str):
         empty_t = pa.large_binary() if kind == "binary" else pa.large_utf8()
         return (pa.concat_arrays(arrs) if arrs
                 else pa.array([], type=empty_t)), valid
-    if kind.startswith("array_float"):
+    if kind.startswith("array_"):
         flats = [v[0] for v in vals_parts]
         lens = [v[1] for v in vals_parts]
-        fdt = np.float32 if kind.endswith("32") else np.float64
-        return ((np.concatenate(flats) if flats else np.zeros(0, fdt)),
+        if kind == "array_string":
+            flat = (pa.concat_arrays([f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+                                      for f in flats]) if flats
+                    else pa.array([], type=pa.large_utf8()))
+        else:
+            fdt = {"array_float32": np.float32, "array_float64": np.float64,
+                   "array_int64": np.int64}[kind]
+            flat = np.concatenate(flats) if flats else np.zeros(0, fdt)
+        return (flat,
                 (np.concatenate(lens) if lens else np.zeros(0, np.uint64))), valid
     dt = {"float32": np.float32, "float64": np.float64,
           "bool": bool}.get(kind, np.int64)
@@ -457,7 +495,9 @@ def _default_arrow_type(kind: str) -> pa.DataType:
          "bool": pa.bool_(), "string": pa.string(),
          "timestamp": pa.timestamp("us"), "date": pa.date32(),
          "array_float32": pa.list_(pa.float32()),
-         "array_float64": pa.list_(pa.float64()), "binary": pa.binary()}
+         "array_float64": pa.list_(pa.float64()),
+         "array_int64": pa.list_(pa.int64()),
+         "array_string": pa.list_(pa.string()), "binary": pa.binary()}
     if kind in m:
         return m[kind]
     mdec = re.match(r"decimal_(\d+)_(\d+)$", kind)
@@ -683,6 +723,17 @@ def _decode_column_parts(row: dict):
         lengths = rle_v2.decode(row["length"], n_valid, signed=False)
         flat = floats.decode(data, int(lengths.sum()), fdtype)
         return (flat, lengths), valid
+    elif kind == "array_int64":
+        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
+        child_codec = codec.split(":", 1)[1]
+        flat = selector.decode_ints(child_codec, data, row["extra"],
+                                    int(lengths.sum()))
+        return (flat, lengths), valid
+    elif kind == "array_string":
+        from .codecs import strings as _s
+        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
+        slens = rle_v2.decode(dict_data, int(lengths.sum()), signed=False)
+        return (_s.decode_direct(data, slens), lengths), valid
     else:
         raise ValueError(kind)
     return vals, valid
@@ -692,7 +743,7 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
     vals, valid = dec
     n = len(valid)
     n_valid = int(valid.sum())
-    if kind.startswith("array_float"):
+    if kind.startswith("array_"):
         flat, lengths = vals
         # int64 offsets: a stripe of 65k rows x wide embeddings can exceed
         # 2^31-1 flat elements; int32 cumsum would silently wrap. LargeList
@@ -700,7 +751,7 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
         # explicitly instead of corrupting if it genuinely overflows.
         offsets = np.zeros(n_valid + 1, dtype=np.int64)
         np.cumsum(lengths.astype(np.int64), out=offsets[1:])
-        child = pa.array(flat)
+        child = flat if isinstance(flat, pa.Array) else pa.array(flat)
         lists = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child)
         if n_valid != n:
             idx = np.zeros(n, dtype=np.int64)
