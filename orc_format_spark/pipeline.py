@@ -83,13 +83,20 @@ def column_kinds(df: DataFrame) -> dict[str, str]:
 _STRUCT_SEP = "\u00b7"
 
 
+_MAP_KEYS = "__map_keys__"
+_MAP_VALS = "__map_vals__"
+
+
 def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     """Struct columns -> leaf columns (``s·a``), the ORC model: structs own
     no data streams, only their leaves do (the reference's Kind::Struct,
-    src/proto.rs:195, is subtype plumbing). One level deep; the leaf
-    columns round-trip through the codecs like any other column and decode
-    reassembles the struct from the schema."""
-    if not any(isinstance(f.dataType, T.StructType) for f in df.schema.fields):
+    src/proto.rs:195, is subtype plumbing). Map columns (Kind::Map,
+    src/proto.rs:193) -> parallel keys/values list leaves, exactly ORC's
+    map layout (one Length stream, key child, value child). One level deep;
+    the leaf columns round-trip through the codecs like any other column
+    and decode reassembles from the schema."""
+    if not any(isinstance(f.dataType, (T.StructType, T.MapType))
+               for f in df.schema.fields):
         return df
     cols = []
     for f in df.schema.fields:
@@ -105,6 +112,11 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
                         "level — not supported")
                 cols.append(F.col(f"{f.name}.{sub.name}")
                             .alias(f"{f.name}{_STRUCT_SEP}{sub.name}"))
+        elif isinstance(f.dataType, T.MapType):
+            cols.append(F.map_keys(F.col(f.name))
+                        .alias(f"{f.name}{_STRUCT_SEP}{_MAP_KEYS}"))
+            cols.append(F.map_values(F.col(f.name))
+                        .alias(f"{f.name}{_STRUCT_SEP}{_MAP_VALS}"))
         else:
             cols.append(F.col(f.name))
     return df.select(cols)
@@ -119,6 +131,13 @@ def _flat_schema(schema: T.StructType) -> T.StructType:
             for sub in f.dataType.fields:
                 fields.append(T.StructField(
                     f"{f.name}{_STRUCT_SEP}{sub.name}", sub.dataType))
+        elif isinstance(f.dataType, T.MapType):
+            fields.append(T.StructField(
+                f"{f.name}{_STRUCT_SEP}{_MAP_KEYS}",
+                T.ArrayType(f.dataType.keyType)))
+            fields.append(T.StructField(
+                f"{f.name}{_STRUCT_SEP}{_MAP_VALS}",
+                T.ArrayType(f.dataType.valueType)))
         else:
             fields.append(f)
     return T.StructType(fields)
@@ -130,9 +149,16 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
     Field order inside each struct follows the flat column order."""
     fields: list[T.StructField] = []
     structs: dict[str, list[T.StructField]] = {}
+    maps: dict[str, dict] = {}
     for f in flat.fields:
         if _STRUCT_SEP in f.name:
             parent, leaf = f.name.split(_STRUCT_SEP, 1)
+            if leaf == _MAP_KEYS:
+                maps.setdefault(parent, {})["k"] = f.dataType.elementType
+                continue
+            if leaf == _MAP_VALS:
+                maps.setdefault(parent, {})["v"] = f.dataType.elementType
+                continue
             if leaf == "__present__":
                 structs.setdefault(parent, [])
                 continue
@@ -142,6 +168,8 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
         fields.append(f)
     for parent, subs in structs.items():
         fields.append(T.StructField(parent, T.StructType(subs)))
+    for parent, kv in maps.items():
+        fields.append(T.StructField(parent, T.MapType(kv["k"], kv["v"])))
     return T.StructType(fields)
 
 
@@ -153,6 +181,10 @@ def _reassemble_structs(df: DataFrame, schema: T.StructType) -> DataFrame:
                      for sub in f.dataType.fields]
             present = F.col(f"`{f.name}{_STRUCT_SEP}__present__`")
             cols.append(F.when(present, F.struct(*parts)).alias(f.name))
+        elif isinstance(f.dataType, T.MapType):
+            cols.append(F.map_from_arrays(
+                F.col(f"`{f.name}{_STRUCT_SEP}{_MAP_KEYS}`"),
+                F.col(f"`{f.name}{_STRUCT_SEP}{_MAP_VALS}`")).alias(f.name))
         else:
             cols.append(F.col(f"`{f.name}`"))
     return df.select(cols)
@@ -310,7 +342,8 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     """
     nested_schema = None
     if schema is not None and any(
-            isinstance(f.dataType, T.StructType) for f in schema.fields):
+            isinstance(f.dataType, (T.StructType, T.MapType))
+            for f in schema.fields):
         nested_schema = schema
         schema = _flat_schema(schema)
         columns = [f.name for f in schema.fields]

@@ -176,6 +176,11 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
         import pyarrow.compute as pc
         lengths = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.uint64)
         flat = nn.flatten()
+        if flat.null_count:
+            raise ValueError(
+                "null elements INSIDE array columns are not supported "
+                "(list-level nulls are; add a child Present stream to lift "
+                "this)")
         if kind != "array_string":
             flat = flat.to_numpy(zero_copy_only=False)
             if kind == "array_int64":

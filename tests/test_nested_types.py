@@ -64,3 +64,20 @@ def test_strided_lists(spark):
     got = (pipeline.decode_dataframe(stripes, schema=df.schema)
            .orderBy("id").collect())
     assert got == df.orderBy("id").collect()
+
+
+def test_map_roundtrip(spark):
+    df = spark.createDataFrame([
+        (1, {"k1": "v1", "k2": "v2"}),
+        (2, {}),
+        (3, None),
+    ], schema="id long, props map<string,string>")
+    got = _roundtrip(spark, df).orderBy("id").collect()
+    assert got == df.orderBy("id").collect()  # {} and None stay distinct
+
+
+def test_null_array_elements_raise_clearly(spark):
+    df = spark.createDataFrame([(1, ["a", None, "b"])],
+                               schema="id long, ls array<string>")
+    with pytest.raises(Exception, match="null elements INSIDE"):
+        _roundtrip(spark, df).count()
