@@ -146,6 +146,20 @@ def q_roundtrip_nested(spark, sf_dir):
         F.element_at("nums", 1).alias("n_chars"))
 
 
+def q_roundtrip_map(spark, sf_dir):
+    """Map column kind over REAL driver data: events.props (JSON) parsed to
+    map<string,bigint>, through the codec engine (keys/values list leaves —
+    the ORC map layout), projected back to a scalar for the oracle."""
+    _pin(spark)
+    df = (_read(spark, sf_dir, "events")
+          .select("event_id",
+                  F.from_json("props", "map<string,bigint>").alias("pm")))
+    rt = _roundtrip(spark, df, "event_id", ["event_id"])
+    return rt.select("event_id",
+                     F.element_at("pm", F.lit("k")).alias("k"),
+                     F.size("pm").alias("n_keys"))
+
+
 def q_orc_file_roundtrip(spark, sf_dir):
     """REAL ORC file round-trip: documents written to an actual .orc file
     by our pure-Python writer (engine codecs + protobuf tail), read back by
@@ -383,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_decimal": q_roundtrip_decimal,
         "orc_file_roundtrip": q_orc_file_roundtrip,
         "roundtrip_nested": q_roundtrip_nested,
+        "roundtrip_map": q_roundtrip_map,
         "rle_delta_event_id": q_rle_delta_event_id,
         "dict_event_type": q_dict_event_type,
         "fsst_doc_text": q_fsst_doc_text,
@@ -425,6 +440,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_binary": "SELECT doc_id, text FROM documents",
         "orc_file_roundtrip":
             "SELECT doc_id, text, lang, n_chars FROM documents",
+        "roundtrip_map":
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+            "1 AS n_keys FROM events",
         "roundtrip_nested":
             "SELECT doc_id, lang, source, "
             "CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens, "
