@@ -84,9 +84,17 @@ class SymbolTable:
                 pairs.sort()
                 keys = np.array([p[0] for p in pairs], dtype=np.uint64)
                 codes = np.array([p[1] for p in pairs], dtype=np.int64)
-                # first-byte filter: cheap pre-screen before searchsorted
-                lut = np.zeros(256, dtype=bool)
-                lut[(keys >> np.uint64((L - 1) * 8)).astype(np.int64)] = True
+                # prefix pre-screen before searchsorted: 2-byte LUT for
+                # L>=2 (<=255 symbols -> <=255 hot entries of 65536, so the
+                # candidate set shrinks ~100x vs a first-byte screen on
+                # text), 1-byte LUT for L=1. Filtering only — the match set
+                # and therefore the encoded bytes are unchanged.
+                if L >= 2:
+                    lut = np.zeros(65536, dtype=bool)
+                    lut[(keys >> np.uint64((L - 2) * 8)).astype(np.int64)] = True
+                else:
+                    lut = np.zeros(256, dtype=bool)
+                    lut[keys.astype(np.int64)] = True
                 self._by_len[L] = (keys, codes, lut)
 
     def serialize(self) -> bytes:
@@ -121,6 +129,14 @@ class SymbolTable:
             return best_len, best_code
         g = _GramKeys(data)._key8  # owned buffer, shifted in place below
         cur_shift = 0
+        data2 = None
+        if any(L >= 2 for L in self._by_len):
+            # 2-byte keys of every position (big-endian), built once
+            d16 = data.astype(np.uint16)
+            data2 = np.empty(max(n - 1, 0), dtype=np.intp)
+            if n > 1:
+                np.left_shift(d16[:-1], 8, out=data2[:], casting="unsafe")
+                data2 |= d16[1:]
         for L in sorted(self._by_len, reverse=True):  # longest first
             keys, codes, lut = self._by_len[L]
             want = (8 - L) * 8
@@ -128,9 +144,9 @@ class SymbolTable:
                 g >>= np.uint64(want - cur_shift)
                 cur_shift = want
             m = n - L + 1
-            # pre-screen: position can only match if its first byte starts
+            # pre-screen: position can only match if its leading bytes start
             # some length-L symbol AND no longer match claimed it
-            cand = lut[data[:m]]
+            cand = lut[data2[:m]] if L >= 2 else lut[data[:m]]
             if L < 8:
                 cand &= best_len[:m] == 0
             pos = np.flatnonzero(cand)
