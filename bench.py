@@ -170,9 +170,15 @@ def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
     ctl_n, ctl_times = best_of(SCALING_N_MASTER, burners=_4N_CORES - _N_CORES,
                                n_runs=min(repeats, 2))
     n4, n4_times = best_of(SCALING_4N_MASTER, burners=0, n_runs=repeats)
+    # secondary raw 8->32 pair: recorded in the artifact itself (not just
+    # BENCH.md prose) so the JSON carries the unflattering high-activation
+    # number alongside the primary pair (VERDICT r2 adjudication).
+    r8, _ = best_of("local[8]", burners=0, n_runs=1)
     ctx, _ = best_of("local[32]", burners=0, n_runs=1)
-    eff_raw = (n4["turns_per_sec"] / raw_n["turns_per_sec"]) / 4.0
-    eff_ctl = (n4["turns_per_sec"] / ctl_n["turns_per_sec"]) / 4.0
+    ratio = _4N_CORES / _N_CORES
+    eff_raw = (n4["turns_per_sec"] / raw_n["turns_per_sec"]) / ratio
+    eff_ctl = (n4["turns_per_sec"] / ctl_n["turns_per_sec"]) / ratio
+    eff_8_32_raw = (ctx["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
     # equal-core-seconds evidence: perfect software scaling = identical
     # core-seconds at both levels (the residual is per-core memory-system
     # degradation as more vCPUs activate on ONE box — an effect a real
@@ -193,6 +199,11 @@ def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
             "core_seconds_ratio": round(core_s_n / core_s_4n, 3),
             "scaling_efficiency_raw": round(eff_raw, 3),
             "scaling_efficiency": round(eff_ctl, 3),
+            "pair_8_32_raw": {
+                "turns_per_sec_8": round(r8["turns_per_sec"], 1),
+                "turns_per_sec_32": round(ctx["turns_per_sec"], 1),
+                "sec_8": round(r8["sec"], 2), "sec_32": round(ctx["sec"], 2),
+                "scaling_efficiency_raw": round(eff_8_32_raw, 3)},
             "context_local32_turns_per_sec": round(ctx["turns_per_sec"], 1),
             "input_turns": n4["turns"]}
 

@@ -9,13 +9,15 @@ misses — min/max stats only help sorted keys, blooms prune on ANY key
 range and min/max never prunes it).
 
 Layout: varint k, varint n_bits, bitset bytes (little-endian bit order).
-Hashing: blake2b-128 per distinct value -> (h1, h2), double hashing
-``(h1 + i*h2) % n_bits`` — the standard Kirsch-Mitzenmacher construction.
+Hashing (vectorized — build is ONE C-side pass over all distinct values,
+no per-value Python): h1 = pandas.util.hash_array (siphash-128/64 in C for
+str/bytes, fixed key; xor-shift mix for int64), h2 = splitmix64(h1) in
+numpy, probes ``(h1 + i*h2) & (n_bits-1)`` — Kirsch-Mitzenmacher double
+hashing with wraparound uint64 arithmetic so a 1-element probe array on
+the lookup side reproduces build-side indices exactly.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 
@@ -25,41 +27,80 @@ DEFAULT_K = 6
 BITS_PER_KEY = 12  # ~0.3% false-positive rate at k=6
 
 
-def _hash_pair(data: bytes) -> tuple[int, int]:
-    d = hashlib.blake2b(data, digest_size=16).digest()
-    return (int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little"))
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """Standard splitmix64 finalizer; derives h2 from h1 for double hashing."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h | np.uint64(1)  # odd step => full-cycle over pow2 table
 
 
-def _canon(value) -> bytes:
-    """Canonical bytes for any key value (both build and probe sides)."""
-    if isinstance(value, bytes):
+def _canon_obj(value):
+    """Canonical object for the siphash path (str/bytes pass through)."""
+    if isinstance(value, (bytes, str)):
         return value
-    if isinstance(value, str):
-        return value.encode("utf-8")
-    if isinstance(value, (int, np.integer)):
-        return int(value).to_bytes(8, "little", signed=True)
     return str(value).encode("utf-8")
+
+
+def _hash_pairs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 arrays for a numpy array of values — one C pass.
+
+    Integer arrays take pandas' int64 path; everything else goes through
+    the object path (siphash over utf-8/bytes). Build and probe both call
+    this, so the split is self-consistent.
+    """
+    from pandas.util import hash_array
+    if values.dtype.kind in "iu":
+        h1 = hash_array(values.astype(np.int64, copy=False), categorize=False)
+    else:
+        if values.dtype != object:
+            values = values.astype(object)
+        h1 = hash_array(values, categorize=False)
+    with np.errstate(over="ignore"):
+        return h1.astype(np.uint64, copy=False), _splitmix64(h1)
 
 
 def build(values, k: int = DEFAULT_K) -> bytes:
     """Bloom over the DISTINCT values of a stripe column. ``values`` is a
-    numpy array, pyarrow array, or iterable; nulls are skipped."""
+    numpy array, pyarrow array, or iterable; nulls are skipped.
+
+    Duplicates are fine: everything is hashed in one C pass and the bitset
+    is sized from the count of distinct *hashes* (cheap uint64 unique) —
+    no object-array unique, no per-value Python in the common str/int case.
+    """
     import pyarrow as pa
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.drop_null().unique().to_pylist()
-    elif isinstance(values, np.ndarray):
-        values = np.unique(values).tolist()
+        arr = values.drop_null()
+        if pa.types.is_integer(arr.type):
+            values = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            values = arr.to_numpy(zero_copy_only=False)  # object of str/bytes
+    elif not isinstance(values, np.ndarray):
+        values = np.array([v for v in values if v is not None], dtype=object)
+    if values.dtype.kind not in "iu":
+        if values.dtype != object:
+            values = values.astype(object)
+        if len(values) and not all(
+                isinstance(v, (str, bytes)) for v in values):
+            values = np.array([_canon_obj(v) for v in values
+                               if v is not None], dtype=object)
+    if not len(values):
+        n_bits = 256
+        bits = np.zeros(n_bits, dtype=bool)
     else:
-        values = list(dict.fromkeys(values))
-    n = max(len(values), 1)
-    n_bits = 1 << max(int(np.ceil(np.log2(n * BITS_PER_KEY))), 8)
-    bits = np.zeros(n_bits, dtype=bool)
-    for v in values:
-        if v is None:
-            continue
-        h1, h2 = _hash_pair(_canon(v))
-        for i in range(k):
-            bits[(h1 + i * h2) % n_bits] = True
+        h1, h2 = _hash_pairs(values)
+        h1 = np.unique(h1)            # uint64 sort — sizes AND dedupes probes
+        h2 = _splitmix64(h1)
+        n_bits = 1 << max(int(np.ceil(np.log2(len(h1) * BITS_PER_KEY))), 8)
+        bits = np.zeros(n_bits, dtype=bool)
+        mask_bits = np.uint64(n_bits - 1)
+        steps = np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            idx = (h1[:, None] + steps[None, :] * h2[:, None]) & mask_bits
+        bits[idx.ravel()] = True
     return (varint.encode_unsigned(k) + varint.encode_unsigned(n_bits)
             + np.packbits(bits, bitorder="little").tobytes())
 
@@ -72,5 +113,14 @@ def might_contain(blob: bytes, value) -> bool:
     n_bits, pos = varint.decode_unsigned(blob, pos)
     bits = np.unpackbits(np.frombuffer(blob, np.uint8, offset=pos),
                          bitorder="little", count=n_bits)
-    h1, h2 = _hash_pair(_canon(value))
-    return all(bits[(h1 + i * h2) % n_bits] for i in range(k))
+    if isinstance(value, (int, np.integer)) and not isinstance(value, bool):
+        arr = np.array([value], dtype=np.int64)
+    else:
+        arr = np.empty(1, dtype=object)
+        arr[0] = _canon_obj(value)
+    h1, h2 = _hash_pairs(arr)
+    mask_bits = np.uint64(n_bits - 1)
+    steps = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        idx = (h1[0] + steps * h2[0]) & mask_bits
+    return bool(bits[idx].all())

@@ -10,7 +10,7 @@ Everything is from the public ORC v1 specification. The protobuf field
 numbers mirror the reference's proto.rs (itself derived from the public
 orc_proto.proto):
   PostScript   (proto.rs Footer tail): 1 footerLength, 2 compression,
-               3 compressionBlockSize, 5 metadataLength, 8 magic
+               3 compressionBlockSize, 5 metadataLength, 8000 magic
   Footer       (proto.rs:206-217): 3 stripes, 4 types, 6 numberOfRows,
                8 rowIndexStride
   StripeInformation (proto.rs): 1 offset, 2 indexLength, 3 dataLength,
@@ -106,7 +106,7 @@ def _parse_postscript(buf: bytes) -> dict:
             ps["compressionBlockSize"] = v
         elif f == 5:
             ps["metadataLength"] = v
-        elif f == 8:
+        elif f == 8000:
             ps["magic"] = v
     return ps
 

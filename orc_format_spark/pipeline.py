@@ -296,9 +296,8 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
     return keyed.mapInArrow(encode_partition, STRIPE_SCHEMA)
 
 
-def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[T.StructType, list[str]]:
-    """Recover the decoded Spark schema from the stripes metadata (tiny job)."""
-    pairs = (stripes.select("col_name", "col_kind").distinct().collect())
+def _schema_from_kinds(by_name: dict[str, str],
+                       columns: list[str] | None) -> tuple[T.StructType, list[str]]:
     kind_to_spark = {
         "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
         "int64": T.LongType(), "float32": T.FloatType(), "float64": T.DoubleType(),
@@ -319,10 +318,40 @@ def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[
             return T.DecimalType(int(p), int(s))
         raise ValueError(kind)
 
-    by_name = {r["col_name"]: r["col_kind"] for r in pairs}
     cols = columns or sorted(by_name)
     fields = [T.StructField(c, to_spark(by_name[c])) for c in cols]
     return T.StructType(fields), cols
+
+
+def infer_schema(stripes: DataFrame, columns: list[str] | None = None) -> tuple[T.StructType, list[str]]:
+    """Recover the decoded Spark schema from the stripes metadata (tiny job,
+    but O(stripe rows) — prefer infer_schema_from_manifest on persisted
+    tables, which reads ONE manifest row)."""
+    pairs = (stripes.select("col_name", "col_kind").distinct().collect())
+    return _schema_from_kinds(
+        {r["col_name"]: r["col_kind"] for r in pairs}, columns)
+
+
+def infer_schema_from_manifest(spark: SparkSession, out_dir: str,
+                               columns: list[str] | None = None
+                               ) -> tuple[T.StructType, list[str]]:
+    """Schema from the manifest's per-stripe ``kinds`` string — a single-row
+    read, vs infer_schema's distinct over every stripe-column row (at 15M
+    stripes that distinct scans 150M metadata rows before any data decode).
+    Falls back to the stripes distinct for pre-``kinds`` manifests."""
+    try:
+        m = spark.read.parquet(f"{out_dir}/manifest")
+        if "kinds" in m.columns:
+            row = m.select("kinds").first()
+            if row is not None and row["kinds"]:
+                by_name = {}
+                for pair in row["kinds"].split(","):
+                    name, kind = pair.rsplit(":", 1)
+                    by_name[name] = kind
+                return _schema_from_kinds(by_name, columns)
+    except Exception:
+        pass
+    return infer_schema(read_stripes(spark, out_dir), columns)
 
 
 def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
@@ -349,11 +378,11 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
         columns = [f.name for f in schema.fields]
     if schema is None:
         schema, columns = infer_schema(stripes, columns)
-        if any(_STRUCT_SEP in c for c in columns):
-            # struct leaves persisted without a caller schema: re-nest them
-            nested_schema = _nest_schema(schema)
     elif columns is None:
         columns = [f.name for f in schema.fields]
+    if nested_schema is None and any(_STRUCT_SEP in c for c in columns):
+        # struct leaves persisted without a caller nested schema: re-nest
+        nested_schema = _nest_schema(schema)
     scan_cols = list(columns)
     if stride_range is not None and stride_range[0] not in scan_cols:
         scan_cols.append(stride_range[0])  # stats live on the predicate col
@@ -411,18 +440,29 @@ def decode_job_clustered(spark: SparkSession, out_dir: str,
     clear error names this function if the table was re-written by
     something other than commit().
 
+    Crash-window duplicates (the same COMPLETE stripe present in more than
+    one file — an orphan run dir re-encoded under a new run_id, or a
+    replayed foreachBatch append adding a second part file) are resolved by
+    a driver-free ownership pass: each stripe is decoded only from the
+    lexicographically-first file containing it. The ownership scan reads
+    ONLY the stripe_id column (parquet column pruning), and each task's
+    keep-list rides the shuffle as data — nothing is collected.
+
     At 100 TB this removes the single largest data movement in the read
     path: the encoded bytes never cross the network at all.
     """
-    import glob as _glob
-    schema, columns = infer_schema(read_stripes(spark, out_dir), columns)
-    base = out_dir[7:] if out_dir.startswith("file://") else out_dir
-    paths = sorted(_glob.glob(f"{base}/stripes/run=*/part-*.parquet"))
-    if not paths:
-        raise ValueError(f"no stripe files under {out_dir}/stripes")
+    schema, columns = infer_schema_from_manifest(spark, out_dir, columns)
+    # ownership: stripe -> min(file). One cheap job over one skinny column.
+    ids = (spark.read.schema(STRIPE_SCHEMA)
+           .option("basePath", f"{out_dir}/stripes")
+           .parquet(f"{out_dir}/stripes")
+           .select("stripe_id", F.input_file_name().alias("path"))
+           .distinct())
+    owners = ids.groupBy("stripe_id").agg(F.min("path").alias("path"))
+    file_keep = owners.groupBy("path").agg(
+        F.collect_list("stripe_id").alias("keep"))
     cores = spark.sparkContext.defaultParallelism
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    pdf = pdf.repartition(min(len(paths), cores * 2))
+    file_keep = file_keep.repartition(cores * 2)
 
     try:
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -435,12 +475,19 @@ def decode_job_clustered(spark: SparkSession, out_dir: str,
     def decode_files(batches):
         import pyarrow.parquet as pq
         for b in batches:
-            for p in b.column("path").to_pylist():
-                tbl = pq.read_table(p, filters=[("col_name", "in", want)])
+            for p, keep in zip(b.column("path").to_pylist(),
+                               b.column("keep").to_pylist()):
+                local = p[7:] if p.startswith("file://") else p
+                local = local[5:] if local.startswith("file:") else local
+                keep_set = set(keep)
+                tbl = pq.read_table(local, filters=[
+                    ("col_name", "in", want),
+                    ("stripe_id", "in", keep)])
                 rows = tbl.to_pylist()
                 by_stripe: dict[str, list] = {}
                 for r in rows:
                     by_stripe.setdefault(r["stripe_id"], []).append(r)
+                missing = keep_set - set(by_stripe)
                 for sid, srows in by_stripe.items():
                     have = {r["col_name"] for r in srows}
                     if not set(want) <= have:
@@ -450,8 +497,12 @@ def decode_job_clustered(spark: SparkSession, out_dir: str,
                             "written by commit() — use decode_job instead")
                     yield stripe_mod.decode_stripe_arrow(srows, want,
                                                          target_schema)
+                if missing:
+                    raise ValueError(
+                        f"owned stripes {sorted(missing)[:3]}... vanished "
+                        f"from {p} between planning and decode")
 
-    return pdf.mapInArrow(decode_files, schema)
+    return file_keep.mapInArrow(decode_files, schema)
 
 
 def build_manifest(stripes: DataFrame, key_col: str | None = None,
@@ -467,6 +518,8 @@ def build_manifest(stripes: DataFrame, key_col: str | None = None,
         F.count("*").alias("n_cols"),
         F.concat_ws(",", F.sort_array(F.collect_list(
             F.concat_ws(":", "col_name", "codec")))).alias("codecs"),
+        F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat_ws(":", "col_name", "col_kind")))).alias("kinds"),
         F.sha1(F.concat_ws(",", F.sort_array(F.collect_list(
             F.concat_ws(":", "col_name", "checksum"))))).alias("checksum"),
     ]
@@ -497,6 +550,13 @@ def _lineage_from_manifest(manifest: DataFrame, run_id: str,
         F.lit(params.get("stripe_rows")).cast("long").alias("p_stripe_rows"),
         F.lit(params.get("key_col")).cast("string").alias("p_key_col"),
         F.lit(params.get("order_col")).cast("string").alias("p_order_col"),
+        # -1 = "no stride index" (a real layout choice, not "unspecified"):
+        # a None->value transition on resume must be caught too
+        F.lit(params.get("index_rows", -1) if params.get("index_rows")
+              is not None else -1).cast("long").alias("p_index_rows"),
+        F.lit(",".join(params["bloom_cols"])
+              if params.get("bloom_cols") is not None else None)
+         .cast("string").alias("p_bloom_cols"),
     )
 
 
@@ -514,23 +574,36 @@ def _check_resume_params(spark: SparkSession, out_dir: str,
     """Fail fast when resuming into an out_dir that was written with
     different partitioning parameters: stripe ids are a pure function of
     (input, n_buckets, stripe_rows), so a silent param change would pass the
-    lineage anti-join and append a disjoint second copy of the data."""
+    lineage anti-join and append a disjoint second copy of the data.
+    index_rows/bloom_cols don't move rows but DO change stripe bytes — a
+    mismatch would break the 're-encoding a stripe reproduces identical
+    bytes' invariant and produce a mixed-layout table, so they're guarded
+    too (older lineage without these columns skips their check)."""
     try:
-        row = spark.read.parquet(f"{out_dir}/lineage").select(
-            "p_n_buckets", "p_stripe_rows", "p_key_col").first()
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+        row = lineage.select(*[c for c in (
+            "p_n_buckets", "p_stripe_rows", "p_key_col", "p_index_rows",
+            "p_bloom_cols") if c in lineage.columns]).first()
     except Exception:
         return
     if row is None or row["p_n_buckets"] is None:
         return  # pre-param lineage (or empty): nothing to check against
-    for have, want, name in (
-            (row["p_n_buckets"], params.get("n_buckets"), "n_buckets"),
-            (row["p_stripe_rows"], params.get("stripe_rows"), "stripe_rows"),
-            (row["p_key_col"], params.get("key_col"), "key_col")):
+    want_bloom = (",".join(params["bloom_cols"])
+                  if params.get("bloom_cols") is not None else None)
+    checks = [
+        (row["p_n_buckets"], params.get("n_buckets"), "n_buckets"),
+        (row["p_stripe_rows"], params.get("stripe_rows"), "stripe_rows"),
+        (row["p_key_col"], params.get("key_col"), "key_col")]
+    if "p_index_rows" in row.__fields__:
+        want_idx = params["index_rows"] if params.get("index_rows") is not None else -1
+        checks.append((row["p_index_rows"], want_idx, "index_rows"))
+        checks.append((row["p_bloom_cols"], want_bloom, "bloom_cols"))
+    for have, want, name in checks:
         if want is not None and have is not None and have != want:
             raise ValueError(
                 f"resume into {out_dir} with mismatched {name}: "
-                f"lineage has {have!r}, job has {want!r} — stripe ids would "
-                "not line up and data would be silently duplicated")
+                f"lineage has {have!r}, job has {want!r} — stripe layout "
+                "would not line up and the table would be silently mixed")
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -599,12 +672,13 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
             n_rows = df.count()
         n_buckets = max((n_rows + stripe_rows - 1) // stripe_rows, 1)
     run_id = uuid.uuid4().hex[:12]
-    params = {"n_buckets": n_buckets, "stripe_rows": stripe_rows,
-              "key_col": key_col, "order_col": order_col}
-    _check_resume_params(spark, out_dir, params)
-
     if bloom_cols is None:
         bloom_cols = [key_col]
+    params = {"n_buckets": n_buckets, "stripe_rows": stripe_rows,
+              "key_col": key_col, "order_col": order_col,
+              "index_rows": index_rows, "bloom_cols": sorted(bloom_cols)}
+    _check_resume_params(spark, out_dir, params)
+
     stripes = encode_dataframe(df, key_col, order_col, sort_keys,
                                stripe_rows, n_buckets, index_rows=index_rows,
                                bloom_cols=bloom_cols)
@@ -669,4 +743,8 @@ def decode_job(spark: SparkSession, out_dir: str,
         else:
             keep = manifest.select("stripe_id")
             stripes = stripes.join(F.broadcast(keep), "stripe_id", "left_semi")
-    return decode_dataframe(stripes, columns=columns, stride_range=stride_range)
+    # schema from ONE manifest row — the stripes scan below is then the
+    # FIRST scan of the stripes table in the plan (no metadata distinct)
+    schema, columns = infer_schema_from_manifest(spark, out_dir, columns)
+    return decode_dataframe(stripes, columns=columns, schema=schema,
+                            stride_range=stride_range)

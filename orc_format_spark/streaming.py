@@ -28,7 +28,10 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     spark = stream_df.sparkSession
 
     params = {"n_buckets": n_buckets, "stripe_rows": stripe_rows,
-              "key_col": key_col, "order_col": order_col}
+              "key_col": key_col, "order_col": order_col,
+              "index_rows": None, "bloom_cols": []}  # stream batches carry
+    # neither stride indexes nor blooms today; recording that in lineage
+    # makes a later batch-mode resume with a different layout fail fast
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

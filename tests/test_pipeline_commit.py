@@ -129,3 +129,52 @@ def test_long_string_keys_not_pruned_by_truncated_max(spark, tmp_path):
     got = (pipeline.decode_job(spark, out, stripe_predicate=pred)
            .filter(F.col("conv_id") == target))
     assert got.count() == 4
+
+
+def test_clustered_decode_dedupes_stripes_repeated_across_files(spark, df, tmp_path):
+    """A stripe COMPLETE in two different files (orphan run dir re-encoded
+    under a new run_id after a crash-before-lineage) must decode exactly
+    once: ownership assigns each stripe to its first file."""
+    out = str(tmp_path / "enc_dup")
+    stripes = pipeline.encode_dataframe(df, "conv_id", "turn_idx",
+                                        stripe_rows=300, n_buckets=6)
+    # crash window: the same complete stripes land under TWO run dirs
+    pipeline.commit(spark, stripes, out, "conv_id", "turn_idx", run_id="runA")
+    stripes.write.mode("append").parquet(f"{out}/stripes/run=orphanB")
+    got = pipeline.decode_job_clustered(spark, out)
+    assert got.count() == df.count()
+    exp = df.orderBy("conv_id", "turn_idx").toPandas()
+    got_pd = got.orderBy("conv_id", "turn_idx").toPandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(exp.reset_index(drop=True),
+                                  got_pd[exp.columns.tolist()].reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_resume_layout_param_mismatch_raises(spark, df, tmp_path):
+    """index_rows/bloom_cols change stripe BYTES (not row placement): a
+    resume with a different stride/bloom layout must fail fast, else the
+    table silently mixes layouts (ADVICE r2)."""
+    out = str(tmp_path / "enc_layout")
+    pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6,
+                        index_rows=100)
+    with pytest.raises(ValueError, match="index_rows"):
+        pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6)
+    with pytest.raises(ValueError, match="index_rows"):
+        pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6,
+                            index_rows=50)
+    with pytest.raises(ValueError, match="bloom_cols"):
+        pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6,
+                            index_rows=100, bloom_cols=["conv_id", "role"])
+    stats = pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6,
+                                index_rows=100)
+    assert stats["resumed"] is True
+
+
+def test_infer_schema_from_manifest_single_row(spark, df, tmp_path):
+    out = str(tmp_path / "enc_schema")
+    pipeline.encode_job(spark, df, out, stripe_rows=300, n_buckets=6)
+    schema, cols = pipeline.infer_schema_from_manifest(spark, out)
+    ref_schema, ref_cols = pipeline.infer_schema(pipeline.read_stripes(spark, out))
+    assert cols == ref_cols
+    assert schema == ref_schema
