@@ -7,11 +7,12 @@ exercised as an encode→decode round-trip whose oracle is a plain SELECT
 (decode∘encode ≡ identity), plus stride (row-group) pruned lookup, plus the
 training-data pipeline operators (dedup, similarity, text analysis,
 multimodal plumbing). Approximate ops are made oracle-checkable by
-construction: dedup_minhash at threshold 0.9 where banded-LSH recall is
-1-3e-12 against the all-pairs jaccard SQL; embedding_dups / ann_lsh_topk
-with planted exact duplicates (identical vectors collide in every LSH
-table, recall 1.0). Only codec_selection (engine metadata), simhash and
-fingerprint (hash-identity outputs) remain rows-only.
+construction: dedup_minhash at threshold 0.9 where the corpus' qualifying
+pairs (all j ≥ 0.928) miss with prob ≤ 2e-14 against the all-pairs jaccard
+SQL; embedding_dups / ann_lsh_topk / simhash / fingerprint with planted
+exact duplicates (identical inputs collide in every LSH table / share a
+signature, recall 1.0). Only codec_selection (engine metadata) remains
+rows-only.
 """
 
 from __future__ import annotations
@@ -114,16 +115,21 @@ def q_roundtrip_binary(spark, sf_dir):
 
 
 def q_roundtrip_decimal(spark, sf_dir):
-    """DECIMAL(18,4) column kind (scaled-int64 mantissa through the int
-    codecs — the ORC decimal64 path), emitted as double (exact for these
-    magnitudes) for the oracle comparison."""
+    """DECIMAL column kinds: (18,4) rides the scaled-int64 mantissa through
+    the int codecs (the ORC decimal64 path); (38,10) has a mantissa of
+    l_orderkey*1e19 > int64 max on EVERY row, forcing the dec128 (lo64,hi64)
+    word-stream codec. dec emits as double (exact); dec38 as STRING —
+    full-scale decimal text matches across engines, while DuckDB decimal128→double rounds differently than Spark."""
     _pin(spark)
     df = (_read(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber",
-                  F.col("l_orderkey").cast("decimal(18,4)").alias("dec")))
+                  F.col("l_orderkey").cast("decimal(18,4)").alias("dec"),
+                  (F.col("l_orderkey") * F.lit(1_000_000_000))
+                  .cast("decimal(38,10)").alias("dec38")))
     rt = _roundtrip(spark, df, "l_orderkey", ["l_orderkey", "l_linenumber"])
     return rt.select("l_orderkey", "l_linenumber",
-                     F.col("dec").cast("double").alias("dec"))
+                     F.col("dec").cast("double").alias("dec"),
+                     F.col("dec38").cast("string").alias("dec38"))
 
 
 def q_roundtrip_nested(spark, sf_dir):
@@ -134,7 +140,11 @@ def q_roundtrip_nested(spark, sf_dir):
     df = (_read(spark, sf_dir, "documents")
           .select("doc_id",
                   F.struct(F.col("lang"), F.col("source")).alias("meta"),
-                  F.split("text", " ").alias("tokens"),
+                  # null ELEMENTS inside the array (every 'the' -> NULL):
+                  # exercises the child Present stream of the list codec
+                  F.transform(F.split("text", " "),
+                              lambda t: F.when(t == "the", None).otherwise(t))
+                  .alias("tokens"),
                   F.array(F.col("n_chars"),
                           F.length("text").cast("long")).alias("nums")))
     rt = _roundtrip(spark, df, "doc_id", ["doc_id"])
@@ -143,6 +153,7 @@ def q_roundtrip_nested(spark, sf_dir):
         F.col("meta.source").alias("source"),
         F.size("tokens").alias("n_tokens"),
         F.element_at("tokens", 1).alias("tok0"),
+        F.size(F.filter("tokens", lambda t: t.isNull())).alias("n_null_toks"),
         F.element_at("nums", 1).alias("n_chars"))
 
 
@@ -300,10 +311,52 @@ def q_dedup_minhash(spark, sf_dir):
     return verified.select("id_a", "id_b")
 
 
+def _planted_docs(spark, sf_dir):
+    """documents ∪ exact copies of the 5 smallest doc_ids (id + 10M)."""
+    df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (df.orderBy("doc_id").limit(5)
+               .select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+                       "text"))
+    return df.unionByName(planted)
+
+
+def _verified_sig_dups(uni, sigs, sig_col):
+    """Signature-blocked exact-dup pairs: candidates share a signature
+    (equal text ⇒ equal signature, so recall on exact dups is 1.0 by
+    construction), then verified by exact text equality JVM-side — the
+    blocking key replaces an all-pairs text compare at scale."""
+    l, r = sigs.alias("l"), sigs.alias("r")
+    cand = (l.join(r, sig_col)
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("id_a"),
+                    F.col("r.doc_id").alias("id_b")))
+    return (cand
+            .join(uni.select(F.col("doc_id").alias("id_a"),
+                             F.col("text").alias("text_a")), "id_a")
+            .join(uni.select(F.col("doc_id").alias("id_b"),
+                             F.col("text").alias("text_b")), "id_b")
+            .where(F.col("text_a") == F.col("text_b"))
+            .select("id_a", "id_b"))
+
+
+_PLANTED_TEXT_DUPS_SQL = (
+    "WITH uni AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 10000000, text FROM documents "
+    "WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM uni a JOIN uni b ON a.text = b.text AND a.doc_id < b.doc_id")
+
+
 def q_simhash(spark, sf_dir):
+    """SimHash-blocked exact-duplicate pairs over documents + planted
+    copies. Oracle: exact text self-join over the same union (DuckDB) —
+    a missed pair means the vectorized simhash is not a pure function of
+    the text (e.g. partition-dependent state), so the equality check is
+    load-bearing, not vacuous."""
     _pin(spark)
-    df = _read(spark, sf_dir, "documents")
-    return dedup.simhash_signatures(df)
+    uni = _planted_docs(spark, sf_dir)
+    sigs = dedup.simhash_signatures(uni)
+    return _verified_sig_dups(uni, sigs, "simhash")
 
 
 _PLANT_OFFSET = 10_000_000
@@ -363,9 +416,12 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
+    """Winnowing-fingerprint-blocked exact-duplicate pairs (same planted
+    construction and text-equality oracle as q_simhash)."""
     _pin(spark)
-    df = _read(spark, sf_dir, "documents")
-    return text.fingerprint(df)
+    uni = _planted_docs(spark, sf_dir)
+    sigs = text.fingerprint(uni)
+    return _verified_sig_dups(uni, sigs, "fingerprint")
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -448,12 +504,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
             "1 AS n_keys FROM events",
         "roundtrip_nested":
+            "WITH t AS (SELECT doc_id, lang, source, n_chars, "
+            "[CASE WHEN x = 'the' THEN NULL ELSE x END "
+            "FOR x IN string_split(text, ' ')] AS toks FROM documents) "
             "SELECT doc_id, lang, source, "
-            "CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens, "
-            "string_split(text, ' ')[1] AS tok0, n_chars FROM documents",
+            "CAST(LEN(toks) AS INT) AS n_tokens, toks[1] AS tok0, "
+            "CAST(LEN(list_filter(toks, x -> x IS NULL)) AS INT) "
+            "AS n_null_toks, n_chars FROM t",
         "roundtrip_decimal":
             "SELECT l_orderkey, l_linenumber, "
-            "CAST(CAST(l_orderkey AS DECIMAL(18,4)) AS DOUBLE) AS dec FROM lineitem",
+            "CAST(CAST(l_orderkey AS DECIMAL(18,4)) AS DOUBLE) AS dec, "
+            "CAST(CAST(l_orderkey * 1000000000 AS DECIMAL(38,10)) AS VARCHAR) "
+            "AS dec38 FROM lineitem",
         "rle_delta_event_id": "SELECT event_id FROM events",
         "dict_event_type": "SELECT event_id, event_type FROM events",
         "fsst_doc_text": "SELECT doc_id, text FROM documents",
@@ -512,6 +574,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM uni a JOIN uni b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9",
+        "simhash": _PLANTED_TEXT_DUPS_SQL,
+        "fingerprint": _PLANTED_TEXT_DUPS_SQL,
         "lang_id": text.language_id_oracle_sql(),
         "multimodal_meta":
             "SELECT doc_id AS blob_id, 'image' AS kind, 8 AS width, 6 AS height, "

@@ -295,7 +295,13 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str = "vec_id",
     tables takes recall from p^k to 1-(1-p^k)^T while each table's join
     still shuffles per-bucket, never all-pairs. Exact duplicates collide in
     every table, so their recall is 1.0 by construction. Hot buckets are
-    capped (skew guard) — see DEFAULT_BUCKET_CAP."""
+    capped (skew guard) — see DEFAULT_BUCKET_CAP.
+
+    Shuffle weight: the explode x n_tables, the bucket self-join, and the
+    pair dedup all carry ONLY (id, table, bucket) — ~20 bytes/row. The
+    vectors rejoin by id once, AFTER the candidate set is deduped (at
+    1k-dim float64 a vector is ~8 KB; carrying it through the x4-table
+    explode and the pair shuffle was the r2 scale bug)."""
     first = emb.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
     rng = np.random.default_rng(seed)
@@ -316,22 +322,32 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str = "vec_id",
                 bucket = (signs.astype(np.uint64) << shifts).sum(axis=1)
                 frames.append(pd.DataFrame({
                     id_col: pdf[id_col], "table": t,
-                    "bucket": bucket.astype(np.int64),
-                    "unit": list(m.astype(np.float64))}))
+                    "bucket": bucket.astype(np.int64)}))
             yield pd.concat(frames, ignore_index=True)
 
-    b = _spread(emb.select(id_col, vec_col)).mapInPandas(
-        bucketize,
-        schema=f"{id_col} long, table int, bucket long, unit array<double>")
+    spread = _spread(emb.select(id_col, vec_col))
+    b = spread.mapInPandas(
+        bucketize, schema=f"{id_col} long, table int, bucket long")
     b = _cap_buckets(b, ["table", "bucket"], bucket_cap)
     left, right = b.alias("l"), b.alias("r")
     pairs = (left.join(right, ["table", "bucket"])
              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
              .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"),
-                     F.col("l.unit").alias("unit_a"),
-                     F.col("r.unit").alias("unit_b"))
+                     F.col(f"r.{id_col}").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))  # OR across tables, once
+    # unit vectors computed JVM-side (whole-stage codegen, no Python),
+    # joined back by id only for the surviving candidate pairs
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    units = emb.select(F.col(id_col), F.transform(
+        vec_d, lambda x: x / safe).alias("unit"))
+    pairs = (pairs
+             .join(units.select(F.col(id_col).alias("id_a"),
+                                F.col("unit").alias("unit_a")), "id_a")
+             .join(units.select(F.col(id_col).alias("id_b"),
+                                F.col("unit").alias("unit_b")), "id_b"))
     cosine = F.aggregate(F.zip_with("unit_a", "unit_b", lambda x, y: x * y),
                          F.lit(0.0), lambda acc, x: acc + x)
     return (pairs.select("id_a", "id_b", cosine.alias("cosine"))

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from . import selector
-from .codecs import boolean_rle, deflate, floats, rle_v2
+from .codecs import boolean_rle, deflate, floats, rle_v2, varint
 
 # stripe-column row fields (keep in sync with pipeline.STRIPE_SCHEMA)
 STRIPE_COLUMNS = [
@@ -71,12 +71,14 @@ def spark_kind(dtype_str: str) -> str:
         return "string"
     # decimal(p,s), p<=18: scaled-int64 mantissa through the int codecs
     # (the ORC decimal64 path; Kind::Decimal, src/proto.rs:197)
+    # decimal(p,s): p<=18 rides a scaled-int64 mantissa through the int
+    # codecs (the ORC decimal64 path; Kind::Decimal, src/proto.rs:197);
+    # p>18 splits the int128 mantissa into (lo64, hi64) word streams, each
+    # through the int codec selector independently (hi words of same-sign
+    # small-magnitude batches RLE to almost nothing)
     mdec = re.match(r"decimal\((\d+),(\d+)\)$", dtype_str)
     if mdec:
         p, s = int(mdec.group(1)), int(mdec.group(2))
-        if p > 18:
-            raise ValueError(
-                f"decimal precision {p} > 18 not supported (mantissa must fit int64)")
         return f"decimal_{p}_{s}"
     raise ValueError(f"unsupported column type: {dtype_str}")
 
@@ -126,7 +128,7 @@ def _checksum(vals, valid: np.ndarray, kind: str) -> str:
         blob, lengths = _s.encode_direct(vals, binary=(kind == "binary"))
         crc = zlib.crc32(blob, crc)
         crc = zlib.crc32(lengths.astype("<u8").tobytes(), crc)
-    elif isinstance(vals, tuple):  # list column: (flat values, lengths)
+    elif isinstance(vals, tuple):  # list: (flat values, lengths, child_valid)
         flat = vals[0]
         if isinstance(flat, (pa.Array, pa.ChunkedArray)):
             from .codecs import strings as _s
@@ -136,6 +138,8 @@ def _checksum(vals, valid: np.ndarray, kind: str) -> str:
         else:
             crc = zlib.crc32(np.ascontiguousarray(flat).tobytes(), crc)
         crc = zlib.crc32(vals[1].astype("<u8").tobytes(), crc)
+        if len(vals) > 2 and vals[2] is not None:
+            crc = zlib.crc32(np.packbits(vals[2]).tobytes(), crc)
     else:
         crc = zlib.crc32(np.ascontiguousarray(vals).tobytes(), crc)
     return f"{crc:08x}"
@@ -163,29 +167,38 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
     elif kind == "binary":
         vals = nn  # Arrow binary array; direct codec consumes it
     elif kind.startswith("decimal_"):
-        # decimal128 -> int64 mantissa: low 8 LE bytes of each 16-byte value
-        # (precision <= 18 guarantees the mantissa fits)
         if isinstance(nn, pa.ChunkedArray):
             nn = nn.combine_chunks()
         raw = np.frombuffer(nn.buffers()[1], dtype=np.int64,
                             count=2 * (len(nn) + nn.offset))
-        vals = raw.reshape(-1, 2)[nn.offset:, 0].copy()
+        words = raw.reshape(-1, 2)[nn.offset:]
+        prec = int(kind.split("_")[1])
+        if prec <= 18:
+            # int64 mantissa: low 8 LE bytes of each 16-byte value
+            # (precision <= 18 guarantees the mantissa fits)
+            vals = words[:, 0].copy()
+        else:
+            # (n, 2) int64: [:,0] = lo word (bit pattern), [:,1] = hi word
+            vals = words.copy()
     elif kind.startswith("array_"):
-        # list columns: (flat child values, per-row lengths) — the ORC
-        # List layout (Length stream + child Data stream)
+        # list columns: (flat non-null child values, per-row SLOT lengths,
+        # child validity or None) — the ORC List layout (Length stream +
+        # child Present stream + child Data stream)
         import pyarrow.compute as pc
         lengths = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.uint64)
         flat = nn.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
         if flat.null_count:
-            raise ValueError(
-                "null elements INSIDE array columns are not supported "
-                "(list-level nulls are; add a child Present stream to lift "
-                "this)")
+            child_valid = np.asarray(flat.is_valid())
+            flat = flat.drop_null()
+        else:
+            child_valid = None
         if kind != "array_string":
             flat = flat.to_numpy(zero_copy_only=False)
             if kind == "array_int64":
                 flat = flat.astype(np.int64, copy=False)
-        vals = (flat, lengths)
+        vals = (flat, lengths, child_valid)
     else:
         raise ValueError(kind)
     return vals, valid
@@ -210,7 +223,25 @@ def encode_column(series, kind: str, force_codec: str | None = None,
         "length": b"", "dict_data": b"", "extra": b"", "ndv": None,
         "min_val": None, "max_val": None, "bloom": b"",
     }
-    if kind in INT_KINDS or kind in ("timestamp", "date") or kind.startswith("decimal_"):
+    if (kind.startswith("decimal_") and isinstance(vals, np.ndarray)
+            and vals.ndim == 2):
+        # decimal precision > 18: (lo64, hi64) word streams, each through
+        # the int selector; extra = varint-framed (extra_lo, extra_hi)
+        lo_w, hi_w = vals[:, 0].copy(), vals[:, 1].copy()
+        c1, d1, e1 = selector.encode_ints(lo_w)
+        c2, d2, e2 = selector.encode_ints(hi_w)
+        row.update(codec=f"dec128:{c1}:{c2}", data=d1, dict_data=d2,
+                   extra=varint.encode_unsigned(len(e1)) + e1 + e2)
+        if len(vals):
+            order = np.lexsort((lo_w.view(np.uint64), hi_w))
+
+            def as_int(i: int) -> int:
+                return (int(hi_w[i]) << 64) | (int(lo_w[i]) & (2**64 - 1))
+
+            row.update(min_val=str(as_int(order[0])),
+                       max_val=str(as_int(order[-1])))
+        raw = int(vals.nbytes)
+    elif kind in INT_KINDS or kind in ("timestamp", "date") or kind.startswith("decimal_"):
         codec, data, extra = selector.encode_ints(vals)
         row.update(codec=codec, data=data, extra=extra)
         if len(vals):
@@ -252,13 +283,13 @@ def encode_column(series, kind: str, force_codec: str | None = None,
                    length=rle_v2.encode(lengths, signed=False))
         raw = len(blob) + 8 * len(lengths)
     elif kind.startswith("array_float"):
-        flat, lengths = vals
+        flat, lengths, child_valid = vals
         fdtype = "float32" if kind.endswith("32") else "float64"
         row.update(codec="float_list", data=floats.encode(flat, fdtype),
                    length=rle_v2.encode(lengths, signed=False))
         raw = int(flat.nbytes) + 8 * len(lengths)
     elif kind == "array_int64":
-        flat, lengths = vals
+        flat, lengths, child_valid = vals
         codec, data, extra = selector.encode_ints(flat)
         row.update(codec=f"int_list:{codec}", data=data, extra=extra,
                    length=rle_v2.encode(lengths, signed=False))
@@ -267,7 +298,7 @@ def encode_column(series, kind: str, force_codec: str | None = None,
         # List<string>: list-lengths in Length, child blob in Data, child
         # byte-lengths in DictData (an otherwise-unused stream for lists)
         from .codecs import strings as _s
-        flat, lengths = vals
+        flat, lengths, child_valid = vals
         blob, slens = _s.encode_direct(flat)
         row.update(codec="str_list", data=blob,
                    dict_data=rle_v2.encode(slens, signed=False),
@@ -275,6 +306,13 @@ def encode_column(series, kind: str, force_codec: str | None = None,
         raw = len(blob) + 8 * len(slens) + 8 * len(lengths)
     else:
         raise ValueError(kind)
+    if kind.startswith("array_") and vals[2] is not None:
+        # null elements INSIDE arrays: a child Present stream (one more
+        # boolean-RLE leaf, the ORC child-column PRESENT analog), varint-
+        # framed ahead of any codec-specific extra bytes
+        cp = boolean_rle.encode_bools(vals[2])
+        row["extra"] = (varint.encode_unsigned(len(cp)) + cp + row["extra"])
+        row["codec"] = "nullable:" + row["codec"]
     # generic block-compression layer on the big streams (is-original escape
     # framing, reference decompress/mod.rs:9-17); selector keeps it only if
     # it shrinks
@@ -285,7 +323,8 @@ def encode_column(series, kind: str, force_codec: str | None = None,
     row["raw_bytes"] = raw
     row["enc_bytes"] = sum(len(row[k]) for k in ("present", "data", "length", "dict_data", "extra"))
     row["checksum"] = _checksum(vals, valid, kind)
-    if with_bloom and not isinstance(vals, tuple):
+    if (with_bloom and not isinstance(vals, tuple)
+            and getattr(vals, "ndim", 1) == 1):
         from . import bloom as bloom_mod
         row["bloom"] = bloom_mod.build(vals)
         row["enc_bytes"] += len(row["bloom"])
@@ -305,7 +344,13 @@ def encode_column(series, kind: str, force_codec: str | None = None,
 _CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
               "str_direct", "str_dict", "str_fsst", "float_list", "bin_direct",
               "int_list:rle_v2", "int_list:for", "int_list:for_scale",
-              "str_list"]
+              "str_list",
+              # appended (ids are persisted in stride indexes — never reorder)
+              "nullable:float_list", "nullable:int_list:rle_v2",
+              "nullable:int_list:for", "nullable:int_list:for_scale",
+              "nullable:str_list"] + [
+              f"dec128:{a}:{b}" for a in ("rle_v2", "for", "for_scale")
+              for b in ("rle_v2", "for", "for_scale")]
 _STREAMS = ("present", "data", "length", "dict_data", "extra")
 
 
@@ -398,7 +443,8 @@ def encode_column_strided(series, kind: str, index_rows: int,
         vals_all, _ = (_values_and_mask_arrow(series, kind)
                        if isinstance(series, (pa.Array, pa.ChunkedArray))
                        else _values_and_mask(series, kind))
-        if not isinstance(vals_all, tuple):
+        if (not isinstance(vals_all, tuple)
+                and getattr(vals_all, "ndim", 1) == 1):
             row["bloom"] = bloom_mod.build(vals_all)
     row["enc_bytes"] = sum(len(row[s]) for s in _STREAMS) + len(row["bloom"])
     crc = zlib.crc32(b"".join(p["checksum"].encode() for p in parts))
@@ -486,8 +532,17 @@ def _concat_decoded(vals_parts: list, valid_parts: list, kind: str):
             fdt = {"array_float32": np.float32, "array_float64": np.float64,
                    "array_int64": np.int64}[kind]
             flat = np.concatenate(flats) if flats else np.zeros(0, fdt)
+        cvs = [v[2] for v in vals_parts]
+        if any(cv is not None for cv in cvs):
+            child_valid = np.concatenate([
+                cv if cv is not None
+                else np.ones(int(np.asarray(v[1]).sum()), dtype=bool)
+                for cv, v in zip(cvs, vals_parts)])
+        else:
+            child_valid = None
         return (flat,
-                (np.concatenate(lens) if lens else np.zeros(0, np.uint64))), valid
+                (np.concatenate(lens) if lens else np.zeros(0, np.uint64)),
+                child_valid), valid
     dt = {"float32": np.float32, "float64": np.float64,
           "bool": bool}.get(kind, np.int64)
     return (np.concatenate(vals_parts) if vals_parts
@@ -519,9 +574,9 @@ def decode_column(row: dict) -> pa.Array | np.ndarray:
     if row["codec"] == "strided":
         return _to_arrow_array(_decode_strided_parts(row), kind,
                                _default_arrow_type(kind))
-    if kind.startswith("array_float"):
-        t = pa.list_(pa.float32() if kind.endswith("32") else pa.float64())
-        return _to_arrow_array(_decode_column_parts(row), kind, t)
+    if kind.startswith("array_") or kind.startswith("decimal_"):
+        return _to_arrow_array(_decode_column_parts(row), kind,
+                               _default_arrow_type(kind))
     comp, comp2 = (row["compression"] or "none|none").split("|")
     data = deflate.decompress(row["data"]) if comp == "zlib" else row["data"]
     dict_data = deflate.decompress(row["dict_data"]) if comp2 == "zlib" else row["dict_data"]
@@ -708,6 +763,41 @@ def _decode_column_parts(row: dict):
              else np.ones(n, dtype=bool))
     n_valid = n - n_nulls
     codec = row["codec"]
+    if codec.startswith("dec128:"):
+        _, c1, c2 = codec.split(":")
+        extra = bytes(row["extra"])
+        e1_len, pos = varint.decode_unsigned(extra, 0)
+        e1, e2 = extra[pos:pos + e1_len], extra[pos + e1_len:]
+        lo_w = selector.decode_ints(c1, data, e1, n_valid)
+        hi_w = selector.decode_ints(c2, dict_data, e2, n_valid)
+        vals = np.column_stack((lo_w, hi_w))
+        return vals, valid
+    if kind.startswith("array_"):
+        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
+        total = int(lengths.sum())
+        extra = bytes(row["extra"])
+        child_valid = None
+        n_child = total
+        if codec.startswith("nullable:"):
+            codec = codec[len("nullable:"):]
+            cp_len, pos = varint.decode_unsigned(extra, 0)
+            child_valid = boolean_rle.decode_bools(extra[pos:pos + cp_len],
+                                                   total)
+            extra = extra[pos + cp_len:]
+            n_child = int(child_valid.sum())
+        if kind.startswith("array_float"):
+            fdtype = "float32" if kind.endswith("32") else "float64"
+            flat = floats.decode(data, n_child, fdtype)
+        elif kind == "array_int64":
+            child_codec = codec.split(":", 1)[1]
+            flat = selector.decode_ints(child_codec, data, extra, n_child)
+        elif kind == "array_string":
+            from .codecs import strings as _s
+            slens = rle_v2.decode(dict_data, n_child, signed=False)
+            flat = _s.decode_direct(data, slens)
+        else:
+            raise ValueError(kind)
+        return (flat, lengths, child_valid), valid
     if (kind in INT_KINDS or kind in ("timestamp", "date")
             or kind.startswith("decimal_")):
         vals = selector.decode_ints(codec, data, row["extra"], n_valid)
@@ -723,22 +813,6 @@ def _decode_column_parts(row: dict):
         from .codecs import strings as _s
         lengths = rle_v2.decode(row["length"], n_valid, signed=False)
         return _s.decode_direct(data, lengths, binary=True), valid
-    elif kind.startswith("array_float"):
-        fdtype = "float32" if kind.endswith("32") else "float64"
-        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
-        flat = floats.decode(data, int(lengths.sum()), fdtype)
-        return (flat, lengths), valid
-    elif kind == "array_int64":
-        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
-        child_codec = codec.split(":", 1)[1]
-        flat = selector.decode_ints(child_codec, data, row["extra"],
-                                    int(lengths.sum()))
-        return (flat, lengths), valid
-    elif kind == "array_string":
-        from .codecs import strings as _s
-        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
-        slens = rle_v2.decode(dict_data, int(lengths.sum()), signed=False)
-        return (_s.decode_direct(data, slens), lengths), valid
     else:
         raise ValueError(kind)
     return vals, valid
@@ -749,7 +823,7 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
     n = len(valid)
     n_valid = int(valid.sum())
     if kind.startswith("array_"):
-        flat, lengths = vals
+        flat, lengths, child_valid = vals
         # int64 offsets: a stripe of 65k rows x wide embeddings can exceed
         # 2^31-1 flat elements; int32 cumsum would silently wrap. LargeList
         # holds any size; the cast to the (32-bit-offset) target raises
@@ -757,6 +831,12 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
         offsets = np.zeros(n_valid + 1, dtype=np.int64)
         np.cumsum(lengths.astype(np.int64), out=offsets[1:])
         child = flat if isinstance(flat, pa.Array) else pa.array(flat)
+        if child_valid is not None:
+            # scatter non-null child values into the full slot positions
+            total = len(child_valid)
+            cidx = np.zeros(total, dtype=np.int64)
+            cidx[child_valid] = np.arange(int(child_valid.sum()))
+            child = child.take(pa.array(cidx, mask=~child_valid))
         lists = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child)
         if n_valid != n:
             idx = np.zeros(n, dtype=np.int64)
@@ -772,12 +852,17 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
             out = vals.take(pa.array(idx, mask=~valid))
         return out.cast(target_type)
     if kind.startswith("decimal_"):
-        # int64 mantissa -> decimal128 buffers (low = mantissa, high = sign)
-        full = np.zeros(n, dtype=np.int64)
-        full[valid] = vals
-        words = np.empty((n, 2), dtype=np.int64)
-        words[:, 0] = full
-        words[:, 1] = full >> 63
+        if isinstance(vals, np.ndarray) and vals.ndim == 2:
+            # p>18: (lo, hi) words decoded separately — scatter both
+            words = np.zeros((n, 2), dtype=np.int64)
+            words[valid] = vals
+        else:
+            # int64 mantissa -> decimal128 buffers (low = mantissa, high = sign)
+            full = np.zeros(n, dtype=np.int64)
+            full[valid] = vals
+            words = np.empty((n, 2), dtype=np.int64)
+            words[:, 0] = full
+            words[:, 1] = full >> 63
         validity = None if n_valid == n else pa.py_buffer(
             np.packbits(valid, bitorder="little").tobytes())
         arr = pa.Array.from_buffers(target_type, n,

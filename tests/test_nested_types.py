@@ -76,8 +76,70 @@ def test_map_roundtrip(spark):
     assert got == df.orderBy("id").collect()  # {} and None stay distinct
 
 
-def test_null_array_elements_raise_clearly(spark):
-    df = spark.createDataFrame([(1, ["a", None, "b"])],
+def test_null_array_elements_roundtrip_spark(spark):
+    """Nulls inside array elements through the full Spark pipeline (was a
+    loud error pre-r3; now a child Present stream)."""
+    df = spark.createDataFrame([(1, ["a", None, "b"]), (2, None), (3, [])],
                                schema="id long, ls array<string>")
-    with pytest.raises(Exception, match="null elements INSIDE"):
-        _roundtrip(spark, df).count()
+    got = {r["id"]: r["ls"] for r in _roundtrip(spark, df).collect()}
+    assert got == {1: ["a", None, "b"], 2: None, 3: []}
+
+
+def test_null_elements_inside_arrays_roundtrip():
+    """Child Present stream: nulls INSIDE list columns (list-level nulls,
+    empty lists, and all-null lists mixed) survive encode->decode."""
+    import pyarrow as pa
+    from orc_format_spark import stripe
+    cases = [
+        (pa.array([[1, 2, None], [4], None, [None, None], []],
+                  type=pa.list_(pa.int64())), "array_int64"),
+        (pa.array([["a", None, "b"], None, ["c"], [], [None]],
+                  type=pa.list_(pa.string())), "array_string"),
+        (pa.array([[1.5, None], [2.25], None], type=pa.list_(pa.float64())),
+         "array_float64"),
+        (pa.array([[None, 1.0], [3.0]], type=pa.list_(pa.float32())),
+         "array_float32"),
+    ]
+    for arr, kind in cases:
+        row = stripe.encode_column(arr, kind)
+        assert row["codec"].startswith("nullable:")
+        dec = stripe._to_arrow_array(stripe._decode_column_parts(row),
+                                     kind, arr.type)
+        assert dec.equals(arr), (kind, dec.to_pylist(), arr.to_pylist())
+    # strided variant
+    arr = pa.array([[i, None] if i % 3 == 0 else [i] for i in range(100)],
+                   type=pa.list_(pa.int64()))
+    row = stripe.encode_column_strided(arr, "array_int64", index_rows=16)
+    dec = stripe._to_arrow_array(stripe._decode_strided_parts(row),
+                                 "array_int64", arr.type)
+    assert dec.equals(arr)
+
+
+def test_no_null_elements_keeps_plain_codec():
+    """Lists without element nulls must NOT pay the child Present stream."""
+    import pyarrow as pa
+    from orc_format_spark import stripe
+    arr = pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))
+    row = stripe.encode_column(arr, "array_int64")
+    assert not row["codec"].startswith("nullable:")
+
+
+def test_decimal38_roundtrip_spark(spark):
+    """decimal(38,10) through the full Spark encode->decode pipeline: every
+    mantissa > int64 max (dec128 word-stream codec)."""
+    from pyspark.sql import functions as F
+    from orc_format_spark import pipeline
+    df = (spark.range(1, 2001)
+          .select(F.col("id"),
+                  (F.col("id") * F.lit(1_000_000_000))
+                  .cast("decimal(38,10)").alias("big"),
+                  F.when(F.col("id") % 7 == 0, None)
+                  .otherwise((-F.col("id")).cast("decimal(38,10)"))
+                  .alias("neg")))
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=500)
+    dec = pipeline.decode_dataframe(stripes, columns=df.columns,
+                                    schema=df.schema)
+    a = df.exceptAll(dec.select(df.columns)).count()
+    b = dec.select(df.columns).exceptAll(df).count()
+    assert a == 0 and b == 0

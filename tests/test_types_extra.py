@@ -41,12 +41,17 @@ def test_decimal_roundtrip_with_nulls(spark):
     assert got["d"].tolist() == vals
 
 
-def test_decimal_precision_19_raises(spark):
+def test_decimal_precision_22_roundtrip(spark):
+    """p>18 decimals ride the dec128 (lo64,hi64) word streams (was a loud
+    error pre-r3)."""
     schema = T.StructType([T.StructField("id", T.LongType()),
                            T.StructField("d", T.DecimalType(22, 2))])
-    df = spark.createDataFrame([(1, decimal.Decimal("1.00"))], schema=schema)
-    with pytest.raises(Exception, match="precision"):
-        _roundtrip(spark, df).count()
+    rows = [(1, decimal.Decimal("12345678901234567890.12")),
+            (2, decimal.Decimal("-9999999999999999999.99")),
+            (3, None)]
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {r["id"]: r["d"] for r in _roundtrip(spark, df).collect()}
+    assert got == dict((i, d) for i, d in rows)
 
 
 def test_varchar_char_roundtrip(spark):
