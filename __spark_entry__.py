@@ -179,13 +179,22 @@ def q_orc_file_roundtrip(spark, sf_dir):
     reader reads these files bit-identically)."""
     _pin(spark)
     import tempfile, os
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from orc_format_spark import orc_reader, orc_writer
     tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text", "lang", "n_chars"])
+    # a NESTED column through the real-ORC layer (list<string> with a
+    # LENGTH stream + child column): the words of each document
+    tbl = tbl.append_column(
+        "words", pc.split_pattern(tbl.column("text"), " "))
     path = os.path.join(tempfile.mkdtemp(prefix="orcrt"), "docs.orc")
     orc_writer.write_orc(tbl, path, compression="zlib", stripe_rows=200)
-    return orc_reader.spark_read_orc(spark, [path])
+    df = orc_reader.spark_read_orc(spark, [path])
+    return df.select("doc_id", "text", "lang", "n_chars",
+                     F.size("words").alias("n_words"),
+                     F.element_at("words", -1).alias("last_word"))
 
 
 def q_rle_delta_event_id(spark, sf_dir):
@@ -499,7 +508,9 @@ def oracle_sql() -> dict[str, str]:
             "AS pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings",
         "roundtrip_binary": "SELECT doc_id, text FROM documents",
         "orc_file_roundtrip":
-            "SELECT doc_id, text, lang, n_chars FROM documents",
+            "SELECT doc_id, text, lang, n_chars, "
+            "CAST(LEN(string_split(text, ' ')) AS INT) AS n_words, "
+            "string_split(text, ' ')[-1] AS last_word FROM documents",
         "roundtrip_map":
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
             "1 AS n_keys FROM events",

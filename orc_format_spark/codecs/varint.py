@@ -65,6 +65,64 @@ def decode_signed(buf, pos: int) -> tuple[int, int]:
     return zigzag_decode_int(z), pos
 
 
+def encode_unsigned_array(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array: ≤10 numpy passes (one
+    per possible varint byte), no per-value Python."""
+    z = values.astype(np.uint64, copy=False)
+    n = len(z)
+    if n == 0:
+        return b""
+    # bytes per value: 1 + #thresholds passed (value >= 2^(7k))
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (z >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offs[1:])
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(10):
+        sel = nbytes > j
+        if not sel.any():
+            break
+        byte = ((z[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] - 1) > j
+        out[offs[sel] + j] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def decode_unsigned_array(buf: bytes, n: int) -> tuple[np.ndarray, int]:
+    """Vectorized LEB128 decode of the FIRST ``n`` varints in ``buf``:
+    continuation-bit scan + ≤10 gather passes. Returns (uint64 array,
+    bytes consumed)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), 0
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero(raw < 0x80)
+    if len(ends) < n:
+        raise ValueError("varint stream truncated")
+    ends = ends[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    if int(lengths.max()) > 10:
+        raise ValueError("varint longer than 10 bytes (out of spec)")
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        sel = lengths > j
+        vals[sel] |= ((raw[starts[sel] + j] & np.uint8(0x7F))
+                      .astype(np.uint64) << np.uint64(7 * j))
+    return vals, int(ends[-1]) + 1
+
+
+def encode_signed_array(values: np.ndarray) -> bytes:
+    return encode_unsigned_array(zigzag_encode(np.asarray(values)))
+
+
+def decode_signed_array(buf: bytes, n: int) -> tuple[np.ndarray, int]:
+    z, consumed = decode_unsigned_array(buf, n)
+    return zigzag_decode(z), consumed
+
+
 def zigzag_encode(values: np.ndarray) -> np.ndarray:
     """Vectorized zigzag int64 -> uint64."""
     v = values.astype(np.int64, copy=False)

@@ -13,8 +13,10 @@ coded per run), boolean/byte RLE, raw LE floats, string DirectV2 /
 sorted DictionaryV2, and the ZLIB chunk framing. Engine-private codecs
 (FSST, for/for_scale) never appear in ORC output.
 
-Scope: flat struct schemas; kinds boolean/byte/short/int/long/float/
-double/string/binary/date/timestamp. Nested types raise.
+Scope: kinds boolean/byte/short/int/long/float/double/string/binary/date/
+timestamp/decimal, plus NESTED list / struct / map at any depth (the ORC
+compound-type model: pre-order type tree, per-column PRESENT + LENGTH
+streams, children record only slots whose parent is present). Union raises.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ _KIND_OF_ARROW = {
     "binary": 8, "large_binary": 8, "timestamp[us]": 9,
     "timestamp[us, tz=UTC]": 9, "date32[day]": 15,
 }
-_STRUCT_KIND = 12
+_LIST_KIND, _MAP_KIND, _STRUCT_KIND, _DECIMAL_KIND = 10, 11, 12, 14
 
 DIRECT_V2, DICTIONARY_V2 = 2, 3
 # dictionary wins when ndv/n is below this (pyorc's dict_key_size_threshold
@@ -121,16 +123,19 @@ def _encode_column(arr: pa.Array) -> tuple[dict[int, bytes], dict]:
         streams[DATA], streams[SECONDARY] = _encode_timestamp(nn)
     elif t.startswith("decimal128("):
         # ORC decimal: DATA = zigzag varint mantissas, SECONDARY = per-value
-        # scale (signed RLEv2)
+        # scale (signed RLEv2). Mantissas come straight from the arrow
+        # decimal128 buffer and encode in one vectorized varint pass.
         scale = arr.type.scale
-        mant = bytearray()
-        for v in nn.to_pylist():
-            unscaled = int(v.scaleb(scale))
-            if not -(1 << 63) <= unscaled < (1 << 63):
-                raise NotImplementedError(
-                    "ORC writer: decimal mantissa beyond int64")
-            mant += varint.encode_signed(unscaled)
-        streams[DATA] = bytes(mant)
+        if isinstance(nn, pa.ChunkedArray):
+            nn = nn.combine_chunks()
+        raw = np.frombuffer(nn.buffers()[1], dtype=np.int64,
+                            count=2 * (len(nn) + nn.offset))
+        words = raw.reshape(-1, 2)[nn.offset:]
+        lo, hi = words[:, 0], words[:, 1]
+        if not (hi == (lo >> 63)).all():
+            raise NotImplementedError(
+                "ORC writer: decimal mantissa beyond int64")
+        streams[DATA] = varint.encode_signed_array(lo)
         streams[SECONDARY] = rle_v2.encode(
             np.full(len(nn), scale, dtype=np.int64), signed=True)
     elif t in ("string", "large_string", "binary", "large_binary"):
@@ -160,24 +165,102 @@ def _encode_column(arr: pa.Array) -> tuple[dict[int, bytes], dict]:
 # ---------------------------------------------------------------------------
 
 
-def _footer_type_tree(schema: pa.Schema) -> bytes:
-    root = _pb_varint(1, _STRUCT_KIND)
-    root += _pb_packed(2, list(range(1, len(schema) + 1)))
+def _add_type(nodes: list, typ: pa.DataType) -> int:
+    """Append ``typ``'s subtree to the pre-order type-node list; return its
+    column id. Node ids follow the ORC rule: a node's children occupy the
+    ids immediately after it, depth-first (reference src/proto.rs:184-203)."""
+    nid = len(nodes)
+    node = {"type": typ, "subtypes": [], "fieldNames": []}
+    nodes.append(node)
+    t = str(typ)
+    if pa.types.is_struct(typ):
+        node["kind"] = _STRUCT_KIND
+        for f in typ:
+            node["fieldNames"].append(f.name)
+        for f in typ:
+            node["subtypes"].append(_add_type(nodes, f.type))
+    elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        node["kind"] = _LIST_KIND
+        node["subtypes"].append(_add_type(nodes, typ.value_type))
+    elif pa.types.is_map(typ):
+        node["kind"] = _MAP_KIND
+        node["subtypes"].append(_add_type(nodes, typ.key_type))
+        node["subtypes"].append(_add_type(nodes, typ.item_type))
+    elif t.startswith("decimal128("):
+        node["kind"] = _DECIMAL_KIND
+    elif t in _KIND_OF_ARROW:
+        node["kind"] = _KIND_OF_ARROW[t]
+    else:
+        raise NotImplementedError(f"ORC writer: unsupported type {t}")
+    return nid
+
+
+def _build_type_nodes(schema: pa.Schema) -> list:
+    """Pre-order type-node list for the whole file (root struct = id 0)."""
+    nodes = [{"type": None, "kind": _STRUCT_KIND, "subtypes": [],
+              "fieldNames": [f.name for f in schema]}]
     for f in schema:
-        root += _pb_bytes(3, f.name.encode("utf-8"))
-    out = _pb_bytes(4, root)
-    for f in schema:
-        t = str(f.type)
-        if t.startswith("decimal128("):
-            body = (_pb_varint(1, 14)  # Kind::Decimal
-                    + _pb_varint(5, f.type.precision)
-                    + _pb_varint(6, f.type.scale))
-            out += _pb_bytes(4, body)
-            continue
-        if t not in _KIND_OF_ARROW:
-            raise NotImplementedError(f"ORC writer: unsupported type {t}")
-        out += _pb_bytes(4, _pb_varint(1, _KIND_OF_ARROW[t]))
+        nodes[0]["subtypes"].append(_add_type(nodes, f.type))
+    return nodes
+
+
+def _footer_type_tree(nodes: list) -> bytes:
+    out = b""
+    for node in nodes:
+        body = _pb_varint(1, node["kind"])
+        if node["subtypes"]:
+            body += _pb_packed(2, node["subtypes"])
+        for name in node["fieldNames"]:
+            body += _pb_bytes(3, name.encode("utf-8"))
+        if node["kind"] == _DECIMAL_KIND:
+            body += _pb_varint(5, node["type"].precision)
+            body += _pb_varint(6, node["type"].scale)
+        out += _pb_bytes(4, body)
     return out
+
+
+def _encode_tree(nodes: list, nid: int, arr: pa.Array,
+                 col_streams: dict, encodings: dict) -> None:
+    """Encode ``arr`` as column id ``nid`` (and its children, recursively).
+    Compound kinds get PRESENT (+LENGTH) here; children record only the
+    slots whose parent value is present — the ORC compound model."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    node = nodes[nid]
+    kind = node["kind"]
+    if kind == _STRUCT_KIND:
+        streams = {}
+        p = _present_stream(arr)
+        if p:
+            streams[PRESENT] = p
+        nn = arr.drop_null() if arr.null_count else arr
+        col_streams[nid] = streams
+        encodings[nid] = {"kind": 0, "dictionarySize": 0}
+        for k, cid in enumerate(node["subtypes"]):
+            _encode_tree(nodes, cid, nn.field(k), col_streams, encodings)
+    elif kind in (_LIST_KIND, _MAP_KIND):
+        streams = {}
+        p = _present_stream(arr)
+        if p:
+            streams[PRESENT] = p
+        nn = arr.drop_null() if arr.null_count else arr
+        offsets = np.asarray(nn.offsets, dtype=np.int64)
+        lengths = np.diff(offsets).astype(np.uint64)
+        streams[LENGTH] = rle_v2.encode(lengths, signed=False)
+        col_streams[nid] = streams
+        encodings[nid] = {"kind": DIRECT_V2, "dictionarySize": 0}
+        if kind == _LIST_KIND:
+            _encode_tree(nodes, node["subtypes"][0], nn.flatten(),
+                         col_streams, encodings)
+        else:
+            _encode_tree(nodes, node["subtypes"][0], nn.keys,
+                         col_streams, encodings)
+            _encode_tree(nodes, node["subtypes"][1], nn.items,
+                         col_streams, encodings)
+    else:
+        streams, enc = _encode_column(arr)
+        col_streams[nid] = streams
+        encodings[nid] = enc
 
 
 def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
@@ -188,6 +271,7 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
     def section(raw: bytes) -> bytes:
         return deflate.compress(raw) if comp_kind == 1 else raw
 
+    nodes = _build_type_nodes(tbl.schema)
     out = bytearray(MAGIC)
     stripe_infos = []
     for lo in range(0, max(tbl.num_rows, 1), stripe_rows):
@@ -195,24 +279,26 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
         if chunk.num_rows == 0 and tbl.num_rows > 0:
             break
         offset = len(out)
-        stream_meta = []          # (kind, column_id, length)
-        encodings = [ {"kind": 0, "dictionarySize": 0} ]  # root struct
-        data = bytearray()
+        col_streams: dict[int, dict[int, bytes]] = {0: {}}
+        enc_by_id: dict[int, dict] = {0: {"kind": 0, "dictionarySize": 0}}
         for ci, name in enumerate(chunk.column_names):
-            col = chunk.column(name).combine_chunks()
-            streams, enc = _encode_column(col)
-            encodings.append(enc)
+            _encode_tree(nodes, nodes[0]["subtypes"][ci],
+                         chunk.column(name), col_streams, enc_by_id)
+        stream_meta = []          # (kind, column_id, length)
+        data = bytearray()
+        for cid in sorted(col_streams):
             for kind in (PRESENT, DATA, LENGTH, DICTIONARY_DATA, SECONDARY):
-                if kind in streams:
-                    payload = section(streams[kind])
-                    stream_meta.append((kind, ci + 1, len(payload)))
+                if kind in col_streams[cid]:
+                    payload = section(col_streams[cid][kind])
+                    stream_meta.append((kind, cid, len(payload)))
                     data += payload
         out += data
         sf = b""
         for kind, col_id, length in stream_meta:
             sf += _pb_bytes(1, _pb_varint(1, kind) + _pb_varint(2, col_id)
                             + _pb_varint(3, length))
-        for enc in encodings:
+        for cid in range(len(nodes)):
+            enc = enc_by_id[cid]
             body = _pb_varint(1, enc["kind"])
             if enc["dictionarySize"]:
                 body += _pb_varint(2, enc["dictionarySize"])
@@ -234,7 +320,7 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
                 + _pb_varint(4, si["footerLength"])
                 + _pb_varint(5, si["numberOfRows"]))
         footer += _pb_bytes(3, body)
-    footer += _footer_type_tree(tbl.schema)
+    footer += _footer_type_tree(nodes)
     footer += _pb_varint(6, tbl.num_rows)
     footer += _pb_varint(8, 0)  # rowIndexStride = 0 (no row index written)
     footer_bytes = section(footer)
