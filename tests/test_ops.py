@@ -212,3 +212,37 @@ def test_real_decode_is_explicit_stub():
         multimodal.decode_image(blob, fake=False)
     img = multimodal.decode_image(blob, fake=True)
     assert img.shape == (6, 8, 3)
+
+
+def test_multimodal_vectorized_matches_scalar_decoder(spark):
+    """Mixed (w,h,c) shapes in one batch: the shape-grouped vectorized
+    kernels must agree exactly with per-blob decode_image."""
+    import pandas as pd
+    specs = [(0, 10, 4, 3), (1, 8, 6, 3), (2, 10, 4, 3), (3, 5, 5, 1),
+             (4, 8, 6, 3)]
+    pdf = pd.DataFrame({
+        "blob_id": [s[0] for s in specs],
+        "blob": [multimodal.make_fake_blob(s[0], width=s[1], height=s[2],
+                                           channels=s[3]) for s in specs]})
+    blobs = spark.createDataFrame(pdf)
+    meta = (multimodal.extract_metadata(blobs)
+            .orderBy("blob_id").toPandas())
+    assert list(meta["width"]) == [s[1] for s in specs]
+    assert list(meta["height"]) == [s[2] for s in specs]
+    assert list(meta["channels"]) == [s[3] for s in specs]
+
+    feats = (multimodal.image_features(blobs, fake=True)
+             .orderBy("blob_id").toPandas())
+    frames = multimodal.frame_sample(blobs, every=2, fake=True).toPandas()
+    for bid, w, h, c in specs:
+        img = multimodal.decode_image(
+            multimodal.make_fake_blob(bid, width=w, height=h, channels=c),
+            fake=True)
+        got_means = feats[feats["blob_id"] == bid]["channel_means"].iloc[0]
+        assert np.allclose(got_means, img.mean(axis=(0, 1)))
+        assert np.isclose(
+            feats[feats["blob_id"] == bid]["pixel_std"].iloc[0], img.std())
+        mine = frames[frames["blob_id"] == bid].sort_values("frame_idx")
+        assert list(mine["frame_idx"]) == list(range(0, h, 2))
+        for _, r in mine.iterrows():
+            assert bytes(r["frame"]) == img[r["frame_idx"]].tobytes()
