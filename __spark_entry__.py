@@ -305,17 +305,19 @@ def q_text_quality(spark, sf_dir):
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH candidate pairs + exact-Jaccard verification, emitted as
     the verified near-duplicate pair list. Oracle-checkable: the DuckDB twin
-    computes exact 5-gram Jaccard over ALL pairs; with bands=16, rows=2,
-    min_shared_bands=1 a pair at jaccard j misses with prob (1-j^2)^16 —
-    the corpus' qualifying pairs all have j ≥ 0.928 (measured; nothing in
-    [0.7, 0.928)), so the worst-case miss is 0.138^16 ≈ 2e-14 and the
-    approximate path must reproduce the exact answer. (bands=8/rows=4 is
-    the cheaper at-scale config but its miss at the threshold boundary is
-    ~3e-3 — not tight enough for a hash-equality oracle.)"""
+    computes exact 5-gram Jaccard over ALL pairs; with bands=16, rows=4,
+    min_shared_bands=2 a pair at jaccard j misses with prob
+    P(Bin(16, j^4) < 2) — the corpus' qualifying pairs all have j ≥ 0.928
+    (measured; nothing in [0.7, 0.928)), so the worst-case miss is ~2e-8
+    and the approximate path must reproduce the exact answer. rows=4 keeps
+    band selectivity high (rows=2 floods the verify stage with random
+    2-hash collisions — measured 7x slower at sf0.1) and min_shared_bands=2
+    cuts coincidental single-band candidates; the recall comes from the
+    band COUNT (n_hashes=64), not from shorter bands."""
     _pin(spark)
     df = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(df, n_hashes=32, bands=16,
-                                    min_shared_bands=1)
+    pairs = dedup.minhash_lsh_pairs(df, n_hashes=64, bands=16,
+                                    min_shared_bands=2)
     verified = dedup.jaccard_verify(df, pairs, threshold=0.9)
     return verified.select("id_a", "id_b")
 

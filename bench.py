@@ -227,7 +227,11 @@ def main() -> None:
     n_turns = df.count()
     gen_sec = time.perf_counter() - t0
 
-    _encode_once(spark, df.limit(30_000))  # warm Python workers (see worker())
+    # warm EVERY Python worker (see worker()): a limit() warm run covers one
+    # partition = one worker; the full-size warm touches all 32, so the
+    # measured run is steady-state (bloom's pandas.util import is the big
+    # one-time per-worker cost since r3)
+    _encode_once(spark, df)
 
     t0 = time.perf_counter()
     enc_stats = _encode_once(spark, df)

@@ -87,107 +87,118 @@ _MAP_KEYS = "__map_keys__"
 _MAP_VALS = "__map_vals__"
 
 
+def _flatten_exprs(prefix: str, col, dtype) -> list:
+    """(name, Column) leaf pairs for one field, recursively: structs at ANY
+    depth become ``a·b·c`` leaves, each struct level contributing its own
+    hidden ``__present__`` boolean leaf (ORC gives struct columns exactly
+    one stream — Present); maps become parallel keys/values list leaves."""
+    if isinstance(dtype, T.StructType):
+        out = [(f"{prefix}{_STRUCT_SEP}__present__", col.isNotNull())]
+        for sub in dtype.fields:
+            out.extend(_flatten_exprs(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                                      col.getField(sub.name), sub.dataType))
+        return out
+    if isinstance(dtype, T.MapType):
+        return [(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}", F.map_keys(col)),
+                (f"{prefix}{_STRUCT_SEP}{_MAP_VALS}", F.map_values(col))]
+    return [(prefix, col)]
+
+
 def _flatten_struct_cols(df: DataFrame) -> DataFrame:
-    """Struct columns -> leaf columns (``s·a``), the ORC model: structs own
-    no data streams, only their leaves do (the reference's Kind::Struct,
-    src/proto.rs:195, is subtype plumbing). Map columns (Kind::Map,
-    src/proto.rs:193) -> parallel keys/values list leaves, exactly ORC's
-    map layout (one Length stream, key child, value child). One level deep;
-    the leaf columns round-trip through the codecs like any other column
-    and decode reassembles from the schema."""
+    """Struct/map columns -> leaf columns, the ORC model: structs own no
+    data streams, only their leaves do (the reference's Kind::Struct,
+    src/proto.rs:195, is subtype plumbing); maps (Kind::Map,
+    src/proto.rs:193) become parallel keys/values list leaves, exactly
+    ORC's map layout. Arbitrary struct nesting depth; leaf columns
+    round-trip through the codecs like any other column and decode
+    reassembles from the schema."""
     if not any(isinstance(f.dataType, (T.StructType, T.MapType))
                for f in df.schema.fields):
         return df
     cols = []
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.StructType):
-            # the struct's own Present stream: a hidden boolean leaf (ORC
-            # gives struct columns exactly one stream — Present)
-            cols.append(F.col(f.name).isNotNull()
-                        .alias(f"{f.name}{_STRUCT_SEP}__present__"))
-            for sub in f.dataType.fields:
-                if isinstance(sub.dataType, T.StructType):
-                    raise ValueError(
-                        f"struct column {f.name!r} nests deeper than one "
-                        "level — not supported")
-                cols.append(F.col(f"{f.name}.{sub.name}")
-                            .alias(f"{f.name}{_STRUCT_SEP}{sub.name}"))
-        elif isinstance(f.dataType, T.MapType):
-            cols.append(F.map_keys(F.col(f.name))
-                        .alias(f"{f.name}{_STRUCT_SEP}{_MAP_KEYS}"))
-            cols.append(F.map_values(F.col(f.name))
-                        .alias(f"{f.name}{_STRUCT_SEP}{_MAP_VALS}"))
-        else:
-            cols.append(F.col(f.name))
+        for name, expr in _flatten_exprs(f.name, F.col(f.name), f.dataType):
+            cols.append(expr.alias(name))
     return df.select(cols)
+
+
+def _flat_fields(prefix: str, dtype) -> list[T.StructField]:
+    if isinstance(dtype, T.StructType):
+        out = [T.StructField(f"{prefix}{_STRUCT_SEP}__present__",
+                             T.BooleanType())]
+        for sub in dtype.fields:
+            out.extend(_flat_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                                    sub.dataType))
+        return out
+    if isinstance(dtype, T.MapType):
+        return [T.StructField(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
+                              T.ArrayType(dtype.keyType)),
+                T.StructField(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
+                              T.ArrayType(dtype.valueType))]
+    return [T.StructField(prefix, dtype)]
 
 
 def _flat_schema(schema: T.StructType) -> T.StructType:
     fields = []
     for f in schema.fields:
-        if isinstance(f.dataType, T.StructType):
-            fields.append(T.StructField(
-                f"{f.name}{_STRUCT_SEP}__present__", T.BooleanType()))
-            for sub in f.dataType.fields:
-                fields.append(T.StructField(
-                    f"{f.name}{_STRUCT_SEP}{sub.name}", sub.dataType))
-        elif isinstance(f.dataType, T.MapType):
-            fields.append(T.StructField(
-                f"{f.name}{_STRUCT_SEP}{_MAP_KEYS}",
-                T.ArrayType(f.dataType.keyType)))
-            fields.append(T.StructField(
-                f"{f.name}{_STRUCT_SEP}{_MAP_VALS}",
-                T.ArrayType(f.dataType.valueType)))
-        else:
-            fields.append(f)
+        fields.extend(_flat_fields(f.name, f.dataType))
     return T.StructType(fields)
 
 
 def _nest_schema(flat: T.StructType) -> T.StructType:
-    """Inverse of _flat_schema: rebuild struct fields from ``s·leaf`` names
+    """Inverse of _flat_schema: rebuild nested fields from ``a·b·c`` names
     (used when decoding a persisted nested encode without a caller schema).
     Field order inside each struct follows the flat column order."""
-    fields: list[T.StructField] = []
-    structs: dict[str, list[T.StructField]] = {}
-    maps: dict[str, dict] = {}
+    def build(items: list[tuple[list[str], T.DataType]]) -> T.DataType | list:
+        # items: (remaining name segments, leaf type), order-preserving
+        if len(items) == 1 and not items[0][0]:
+            return items[0][1]  # plain leaf
+        heads = [seg[0] for seg, _ in items]
+        if _MAP_KEYS in heads:
+            kt = next(t for seg, t in items if seg[0] == _MAP_KEYS)
+            vt = next(t for seg, t in items if seg[0] == _MAP_VALS)
+            return T.MapType(kt.elementType, vt.elementType)
+        # struct: group children by head segment (skip the present leaf)
+        order, groups = [], {}
+        for seg, t in items:
+            h = seg[0]
+            if h == "__present__":
+                continue
+            if h not in groups:
+                order.append(h)
+                groups[h] = []
+            groups[h].append((seg[1:], t))
+        return T.StructType([T.StructField(h, build(groups[h]))
+                             for h in order])
+
+    order, groups = [], {}
     for f in flat.fields:
-        if _STRUCT_SEP in f.name:
-            parent, leaf = f.name.split(_STRUCT_SEP, 1)
-            if leaf == _MAP_KEYS:
-                maps.setdefault(parent, {})["k"] = f.dataType.elementType
-                continue
-            if leaf == _MAP_VALS:
-                maps.setdefault(parent, {})["v"] = f.dataType.elementType
-                continue
-            if leaf == "__present__":
-                structs.setdefault(parent, [])
-                continue
-            structs.setdefault(parent, []).append(
-                T.StructField(leaf, f.dataType))
-            continue
-        fields.append(f)
-    for parent, subs in structs.items():
-        fields.append(T.StructField(parent, T.StructType(subs)))
-    for parent, kv in maps.items():
-        fields.append(T.StructField(parent, T.MapType(kv["k"], kv["v"])))
-    return T.StructType(fields)
+        segs = f.name.split(_STRUCT_SEP)
+        h = segs[0]
+        if h not in groups:
+            order.append(h)
+            groups[h] = []
+        groups[h].append((segs[1:], f.dataType))
+    return T.StructType([T.StructField(h, build(groups[h])) for h in order])
+
+
+def _rebuild_expr(prefix: str, dtype):
+    if isinstance(dtype, T.StructType):
+        parts = [_rebuild_expr(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                               sub.dataType).alias(sub.name)
+                 for sub in dtype.fields]
+        present = F.col(f"`{prefix}{_STRUCT_SEP}__present__`")
+        return F.when(present, F.struct(*parts))
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(
+            F.col(f"`{prefix}{_STRUCT_SEP}{_MAP_KEYS}`"),
+            F.col(f"`{prefix}{_STRUCT_SEP}{_MAP_VALS}`"))
+    return F.col(f"`{prefix}`")
 
 
 def _reassemble_structs(df: DataFrame, schema: T.StructType) -> DataFrame:
-    cols = []
-    for f in schema.fields:
-        if isinstance(f.dataType, T.StructType):
-            parts = [F.col(f"`{f.name}{_STRUCT_SEP}{sub.name}`").alias(sub.name)
-                     for sub in f.dataType.fields]
-            present = F.col(f"`{f.name}{_STRUCT_SEP}__present__`")
-            cols.append(F.when(present, F.struct(*parts)).alias(f.name))
-        elif isinstance(f.dataType, T.MapType):
-            cols.append(F.map_from_arrays(
-                F.col(f"`{f.name}{_STRUCT_SEP}{_MAP_KEYS}`"),
-                F.col(f"`{f.name}{_STRUCT_SEP}{_MAP_VALS}`")).alias(f.name))
-        else:
-            cols.append(F.col(f"`{f.name}`"))
-    return df.select(cols)
+    return df.select([_rebuild_expr(f.name, f.dataType).alias(f.name)
+                      for f in schema.fields])
 
 
 def _estimate_rows(df: DataFrame) -> int | None:

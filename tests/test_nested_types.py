@@ -47,14 +47,6 @@ def test_two_structs_and_mixed(spark):
     assert got == df.orderBy("id").collect()
 
 
-def test_deep_nesting_raises(spark):
-    df = spark.createDataFrame(
-        [(1, {"inner": {"x": 1}})],
-        schema="id long, s struct<inner:struct<x:long>>")
-    with pytest.raises(Exception, match="nests deeper"):
-        _roundtrip(spark, df).count()
-
-
 def test_strided_lists(spark):
     rows = [(i, list(range(i % 5)), [f"w{j}" for j in range(i % 3)])
             for i in range(500)]
@@ -143,3 +135,34 @@ def test_decimal38_roundtrip_spark(spark):
     a = df.exceptAll(dec.select(df.columns)).count()
     b = dec.select(df.columns).exceptAll(df).count()
     assert a == 0 and b == 0
+
+
+def test_deep_struct_nesting_roundtrip(spark):
+    """Structs nested 3 levels deep (with nulls at every level) through the
+    flatten path — was a loud error pre-r3."""
+    schema = ("id long, a struct<x: bigint, b: struct<y: string, "
+              "c: struct<z: double>>, m: map<string, bigint>>")
+    rows = [
+        (1, {"x": 10, "b": {"y": "hi", "c": {"z": 1.5}}, "m": {"k": 7}}),
+        (2, {"x": None, "b": {"y": None, "c": None}, "m": {}}),
+        (3, {"x": 30, "b": None, "m": None}),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {r["id"]: r["a"] for r in _roundtrip(spark, df).collect()}
+    exp = {r["id"]: r["a"] for r in df.collect()}
+    assert got == exp
+
+
+def test_deep_struct_schema_free_decode(spark):
+    """Persisted deep-struct table decodes WITHOUT a caller schema: the
+    `a·b·c` leaf names re-nest from the manifest kinds alone."""
+    from orc_format_spark import pipeline
+    schema = "id long, a struct<x: bigint, b: struct<y: string>>"
+    rows = [(1, {"x": 1, "b": {"y": "q"}}), (2, {"x": 2, "b": None})]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    dec = pipeline.decode_dataframe(stripes)  # no schema, no columns
+    got = {r["id"]: r.asDict(recursive=True)["a"] for r in dec.collect()}
+    assert got == {1: {"x": 1, "b": {"y": "q"}}, 2: {"x": 2, "b": None}}
