@@ -2,9 +2,10 @@
 
 Parses the ORC v1 tail — PostScript / Footer / StripeFooter protobufs, the
 structure the reference reads in src/read/mod.rs:46-159 — and decodes column
-streams with THIS ENGINE'S codecs (rle_v2, boolean_rle, deflate framing),
-proving byte-level interop with files produced by the Apache ORC writers
-(tests write via pyarrow.orc == ORC C++ and read back here).
+streams with THIS ENGINE'S codecs (rle_v2, rle_v1 for 0.11-era files,
+boolean_rle, deflate framing), proving byte-level interop with files
+produced by the Apache ORC writers (tests write via pyarrow.orc == ORC C++
+and read back here).
 
 Everything is from the public ORC v1 specification. The protobuf field
 numbers mirror the reference's proto.rs (itself derived from the public
@@ -20,9 +21,10 @@ orc_proto.proto):
   Stream       (proto.rs:127-136): 1 kind, 2 column, 3 length
   ColumnEncoding (proto.rs): 1 kind, 2 dictionarySize
 
-Scope: flat top-level struct schemas; kinds boolean/byte/short/int/long/
-float/double/string/char/varchar/binary/date/timestamp/decimal. Nested
-list/map/union raise NotImplementedError with a clear message.
+Scope: kinds boolean/byte/short/int/long/float/double/string/char/varchar/
+binary/date/timestamp/decimal plus nested list/struct/map at any depth;
+encodings DIRECT/DICTIONARY (RLE v1, ORC 0.11) and DIRECT_V2/DICTIONARY_V2.
+Union raises NotImplementedError with a clear message.
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import boolean_rle, deflate, rle_v2, varint
+from .codecs import boolean_rle, deflate, rle_v1, rle_v2, varint
 
 MAGIC = b"ORC"
 
@@ -250,9 +252,17 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
         idx[valid] = np.arange(n_valid)
         return vals_arr.take(pa.array(idx, mask=~valid))
 
-    if enc["kind"] not in (DIRECT, DIRECT_V2, DICTIONARY_V2):
+    if enc["kind"] not in (DIRECT, DICTIONARY, DIRECT_V2, DICTIONARY_V2):
         raise NotImplementedError(
-            f"ORC encoding {enc['kind']} for {kind} (v1 DICTIONARY not supported)")
+            f"ORC encoding {enc['kind']} for {kind}")
+    # DIRECT/DICTIONARY (no _V2) = the pre-HIVE-8732 integer RLE v1 for
+    # every varint-RLE stream of this column (ORC file version 0.11)
+    v1 = enc["kind"] in (DIRECT, DICTIONARY)
+
+    def _rle(stream: bytes, count: int, signed: bool) -> np.ndarray:
+        if v1:
+            return rle_v1.decode(stream, count, signed=signed)
+        return rle_v2.decode(stream, count, signed=signed)
 
     # compound kinds (ORC model: children record only parent-present slots;
     # LIST/MAP carry a LENGTH stream of per-slot element counts)
@@ -266,7 +276,7 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
         return _scatter(vals_arr)
     if kind in ("list", "map"):
         length = _read_stream(stripe_buf, streams, LENGTH, compression)
-        lengths = rle_v2.decode(length, n_valid, signed=False).astype(np.int64)
+        lengths = _rle(length, n_valid, signed=False).astype(np.int64)
         offsets = np.zeros(n_valid + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         n_child = int(offsets[-1])
@@ -295,7 +305,7 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
         vals = boolean_rle.decode_bytes(data, n_valid).view(np.int8)
         return _scatter(pa.array(vals))
     if kind in ("short", "int", "long", "date"):
-        vals = rle_v2.decode(data, n_valid, signed=True)
+        vals = _rle(data, n_valid, signed=True)
         if kind == "date":
             return _scatter(pa.array(vals.astype(np.int32)).cast(pa.date32()))
         t = {"short": pa.int16(), "int": pa.int32(), "long": pa.int64()}[kind]
@@ -311,8 +321,8 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
         if enc["kind"] == DICTIONARY_V2:
             ndv = enc["dictionarySize"]
             dict_blob = _read_stream(stripe_buf, streams, DICTIONARY_DATA, compression)
-            dlens = rle_v2.decode(length, ndv, signed=False).astype(np.int64)
-            codes = rle_v2.decode(data, n_valid, signed=False).astype(np.int64)
+            dlens = _rle(length, ndv, signed=False).astype(np.int64)
+            codes = _rle(data, n_valid, signed=False).astype(np.int64)
             offsets = np.zeros(ndv + 1, dtype=np.int64)
             np.cumsum(dlens, out=offsets[1:])
             dict_arr = pa.Array.from_buffers(
@@ -320,7 +330,7 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
                 [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dict_blob)])
             vals_arr = dict_arr.take(pa.array(codes)).cast(out_type)
         else:
-            lens = rle_v2.decode(length, n_valid, signed=False).astype(np.int64)
+            lens = _rle(length, n_valid, signed=False).astype(np.int64)
             offsets = np.zeros(n_valid + 1, dtype=np.int64)
             np.cumsum(lens, out=offsets[1:])
             vals_arr = pa.Array.from_buffers(
@@ -329,8 +339,8 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
             vals_arr = vals_arr.cast(out_type)
         return _scatter(vals_arr)
     if kind in ("timestamp", "timestamp_instant"):
-        sec = rle_v2.decode(data, n_valid, signed=True) + _TS_EPOCH_S
-        nano_enc = rle_v2.decode(
+        sec = _rle(data, n_valid, signed=True) + _TS_EPOCH_S
+        nano_enc = _rle(
             _read_stream(stripe_buf, streams, SECONDARY, compression),
             n_valid, signed=False)
         us = _decode_nanos(sec - _TS_EPOCH_S, nano_enc) + _TS_EPOCH_S * 1_000_000

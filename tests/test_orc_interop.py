@@ -290,3 +290,35 @@ def test_decimal_interop_vectorized_both_ways():
     assert dt < 10, f"decimal interop too slow: {dt:.1f}s for {n} rows"
     ap = po.ORCFile(io.BytesIO(raw)).read()
     assert ap.column("d").combine_chunks().equals(arr)
+
+
+def test_rle_v1_file_version_011_decodes():
+    """ORC file version 0.11 (pre-HIVE-8732): every varint-RLE stream is
+    RLE v1 and ColumnEncoding kinds are DIRECT/DICTIONARY. Validated
+    against the Apache C++ writer — runs, literals, v1 dictionary strings,
+    timestamps, lists, and nulls."""
+    import datetime
+    import io
+    import numpy as np
+    from orc_format_spark import orc_reader
+    rng = np.random.default_rng(0)
+    n = 5000
+    tbl = pa.table({
+        "run": pa.array(np.arange(n)),
+        "lit": pa.array(rng.integers(-10**9, 10**9, n)),
+        "s": pa.array([f"v{i % 7}" for i in range(n)]),
+        "txt": pa.array([f"unique-{i}" for i in range(n)]),
+        "maybe": pa.array([None if i % 5 == 0 else i for i in range(n)],
+                          type=pa.int64()),
+        "ts": pa.array([datetime.datetime(2020, 1, 1)
+                        + datetime.timedelta(seconds=int(i))
+                        for i in range(n)], type=pa.timestamp("us")),
+        "ls": pa.array([[i, i + 1] if i % 3 else None for i in range(n)],
+                       type=pa.list_(pa.int64())),
+    })
+    buf = io.BytesIO()
+    orc.write_table(tbl, buf, file_version="0.11")
+    got = orc_reader.read_orc_bytes(buf.getvalue())
+    for c in tbl.column_names:
+        assert got.column(c).combine_chunks().equals(
+            tbl.column(c).combine_chunks()), c
