@@ -296,7 +296,23 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
             vals_arr = pa.MapArray.from_arrays(off_arr, keys, items)
         return _scatter(vals_arr)
     if kind == "union":
-        raise NotImplementedError("ORC union columns are not supported")
+        # tag bytes (byte RLE); child i holds values in row order for slots
+        # tagged i. Rebuilt as an Arrow dense union.
+        tags = boolean_rle.decode_bytes(data, n_valid)
+        children, offs = [], np.zeros(n_valid, dtype=np.int32)
+        for i, cid in enumerate(typ["subtypes"]):
+            sel = tags == i
+            n_child = int(sel.sum())
+            children.append(_decode_column(stripe_buf, sf, cid, types[cid],
+                                           n_child, compression, types))
+            offs[sel] = np.arange(n_child, dtype=np.int32)
+        vals_arr = pa.UnionArray.from_dense(
+            pa.array(tags.astype(np.int8), type=pa.int8()),
+            pa.array(offs, type=pa.int32()), children)
+        if valid is not None:
+            raise NotImplementedError(
+                "nullable union slots are not supported by this reader")
+        return vals_arr
 
     if kind == "boolean":
         vals = boolean_rle.decode_bools(data, n_valid)

@@ -35,7 +35,8 @@ _KIND_OF_ARROW = {
     "binary": 8, "large_binary": 8, "timestamp[us]": 9,
     "timestamp[us, tz=UTC]": 9, "date32[day]": 15,
 }
-_LIST_KIND, _MAP_KIND, _STRUCT_KIND, _DECIMAL_KIND = 10, 11, 12, 14
+_LIST_KIND, _MAP_KIND, _STRUCT_KIND, _UNION_KIND, _DECIMAL_KIND = (
+    10, 11, 12, 13, 14)
 
 DIRECT_V2, DICTIONARY_V2 = 2, 3
 # dictionary wins when ndv/n is below this (pyorc's dict_key_size_threshold
@@ -186,6 +187,10 @@ def _add_type(nodes: list, typ: pa.DataType) -> int:
         node["kind"] = _MAP_KIND
         node["subtypes"].append(_add_type(nodes, typ.key_type))
         node["subtypes"].append(_add_type(nodes, typ.item_type))
+    elif pa.types.is_union(typ):
+        node["kind"] = _UNION_KIND
+        for f in typ:
+            node["subtypes"].append(_add_type(nodes, f.type))
     elif t.startswith("decimal128("):
         node["kind"] = _DECIMAL_KIND
     elif t in _KIND_OF_ARROW:
@@ -257,6 +262,35 @@ def _encode_tree(nodes: list, nid: int, arr: pa.Array,
                          col_streams, encodings)
             _encode_tree(nodes, node["subtypes"][1], nn.items,
                          col_streams, encodings)
+    elif kind == _UNION_KIND:
+        # ORC union: DATA = tag bytes (byte RLE); child i records values in
+        # row order for the slots whose tag is i. Arrow dense unions carry
+        # (type_codes, value_offsets); sparse unions have no offsets.
+        from .codecs import boolean_rle
+        streams = {}
+        if arr.null_count:
+            raise NotImplementedError(
+                "ORC writer: nullable union slots not supported")
+        codes = np.asarray(arr.type_codes)
+        code_list = list(arr.type.type_codes)  # child index -> raw code
+        code_to_idx = np.zeros(max(code_list) + 1, dtype=np.uint8)
+        for i, c in enumerate(code_list):
+            code_to_idx[c] = i
+        tags = code_to_idx[codes]
+        streams[DATA] = boolean_rle.encode_bytes(tags)
+        col_streams[nid] = streams
+        encodings[nid] = {"kind": 0, "dictionarySize": 0}
+        dense = arr.type.mode == "dense"
+        offsets = np.asarray(arr.offsets) if dense else None
+        for i, cid in enumerate(node["subtypes"]):
+            sel = np.flatnonzero(tags == i)
+            child = arr.field(i)
+            if dense:
+                take = offsets[sel]
+            else:
+                take = sel
+            vals = child.take(pa.array(take, type=pa.int64()))
+            _encode_tree(nodes, cid, vals, col_streams, encodings)
     else:
         streams, enc = _encode_column(arr)
         col_streams[nid] = streams

@@ -322,3 +322,23 @@ def test_rle_v1_file_version_011_decodes():
     for c in tbl.column_names:
         assert got.column(c).combine_chunks().equals(
             tbl.column(c).combine_chunks()), c
+
+
+def test_union_column_roundtrip_and_apache_reads_ours():
+    """Dense union through our writer/reader (tag byte-RLE + per-tag child
+    columns, Kind::Union = the one type the reference only declares,
+    src/proto.rs:196). pyarrow.orc cannot WRITE unions, so the strong
+    cross-check is the Apache C++ reader consuming OUR union file."""
+    import io
+    from orc_format_spark import orc_reader, orc_writer
+    tags = pa.array([0, 1, 0, 0, 1, 1], type=pa.int8())
+    offs = pa.array([0, 0, 1, 2, 1, 2], type=pa.int32())
+    u = pa.UnionArray.from_dense(tags, offs, [
+        pa.array([10, 20, 30], type=pa.int64()),
+        pa.array(["a", "b", "c"])], ["num", "txt"])
+    tbl = pa.table({"id": pa.array([1, 2, 3, 4, 5, 6]), "u": u})
+    raw = orc_writer.write_orc_bytes(tbl)
+    back = orc_reader.read_orc_bytes(raw)
+    assert back.column("u").combine_chunks().to_pylist() == u.to_pylist()
+    ap = orc.ORCFile(io.BytesIO(raw)).read()
+    assert ap.column("u").combine_chunks().to_pylist() == u.to_pylist()
