@@ -96,6 +96,14 @@ class SymbolTable:
                     lut = np.zeros(256, dtype=bool)
                     lut[keys.astype(np.int64)] = True
                 self._by_len[L] = (keys, codes, lut)
+        # combined prescreen: ONE uint8 bitmask LUT over 2-byte prefixes,
+        # bit (L-2) set iff some length-L symbol starts with those 2 bytes —
+        # match_all then pays a single O(n) gather instead of one per length
+        self._lut2 = np.zeros(65536, dtype=np.uint8)
+        for L, (keys, _, _) in self._by_len.items():
+            if L >= 2:
+                pref = (keys >> np.uint64((L - 2) * 8)).astype(np.int64)
+                self._lut2[pref] |= np.uint8(1 << (L - 2))
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -127,32 +135,33 @@ class SymbolTable:
         best_code = np.zeros(n, dtype=np.uint8)
         if not self._by_len:
             return best_len, best_code
-        g = _GramKeys(data)._key8  # owned buffer, shifted in place below
-        cur_shift = 0
-        data2 = None
-        if any(L >= 2 for L in self._by_len):
-            # 2-byte keys of every position (big-endian), built once
+        g = _GramKeys(data)._key8  # unshifted; shifted per-candidate below
+        lens_desc = sorted(self._by_len, reverse=True)
+        masks = None
+        if any(L >= 2 for L in lens_desc):
+            # 2-byte keys of every position (big-endian), built once, then
+            # ONE bitmask gather covering every length's prescreen
             d16 = data.astype(np.uint16)
             data2 = np.empty(max(n - 1, 0), dtype=np.intp)
             if n > 1:
                 np.left_shift(d16[:-1], 8, out=data2[:], casting="unsafe")
                 data2 |= d16[1:]
-        for L in sorted(self._by_len, reverse=True):  # longest first
+            masks = self._lut2[data2]
+        for L in lens_desc:  # longest first
             keys, codes, lut = self._by_len[L]
-            want = (8 - L) * 8
-            if want != cur_shift:
-                g >>= np.uint64(want - cur_shift)
-                cur_shift = want
             m = n - L + 1
             # pre-screen: position can only match if its leading bytes start
             # some length-L symbol AND no longer match claimed it
-            cand = lut[data2[:m]] if L >= 2 else lut[data[:m]]
+            if L >= 2:
+                cand = (masks[:m] & np.uint8(1 << (L - 2))).astype(bool)
+            else:
+                cand = lut[data[:m]]
             if L < 8:
                 cand &= best_len[:m] == 0
             pos = np.flatnonzero(cand)
             if len(pos) == 0:
                 continue
-            grams = g[pos]
+            grams = g[pos] >> np.uint64((8 - L) * 8)
             idx = np.searchsorted(keys, grams)
             np.minimum(idx, len(keys) - 1, out=idx)
             hit = keys[idx] == grams
