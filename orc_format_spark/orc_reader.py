@@ -178,16 +178,40 @@ def _parse_stripe_footer(buf: bytes) -> dict:
     return sf
 
 
+def _framed(buf: bytes, inner) -> bytes:
+    """The 3-byte LE is-original chunk framing (decompress/mod.rs:9-17)
+    around any block codec."""
+    out = bytearray()
+    pos, n = 0, len(buf)
+    while pos < n:
+        header = int.from_bytes(buf[pos:pos + 3], "little")
+        pos += 3
+        length = header >> 1
+        chunk = buf[pos:pos + length]
+        if len(chunk) != length:
+            raise ValueError("truncated compression chunk")
+        pos += length
+        out += chunk if header & 1 else inner(chunk)
+    return bytes(out)
+
+
 def _decompress(buf: bytes, compression: int) -> bytes:
-    """ORC section decompression: NONE(0) passthrough, ZLIB(1) = the 3-byte
-    is-original chunk framing over raw DEFLATE (our deflate codec is the
-    byte-exact implementation of that framing, decompress/mod.rs:9-93)."""
+    """ORC section decompression: NONE(0) passthrough; ZLIB(1) raw DEFLATE,
+    SNAPPY(2) and LZ4(4) via our pure-Python block decoders — all under the
+    3-byte is-original chunk framing. The reference `todo!()`s SNAPPY/LZO
+    (decompress/mod.rs:80-88); LZO(3) and ZSTD(5) still raise here."""
     if compression == 0:
         return bytes(buf)
     if compression == 1:
         return deflate.decompress(bytes(buf))
+    if compression == 2:
+        from .codecs import lz77
+        return _framed(bytes(buf), lz77.snappy_decompress)
+    if compression == 4:
+        from .codecs import lz77
+        return _framed(bytes(buf), lz77.lz4_decompress)
     raise NotImplementedError(
-        f"ORC compression kind {compression} (only NONE/ZLIB in this env)")
+        f"ORC compression kind {compression} (NONE/ZLIB/SNAPPY/LZ4 in this env)")
 
 
 # ---------------------------------------------------------------------------

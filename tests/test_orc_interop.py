@@ -342,3 +342,25 @@ def test_union_column_roundtrip_and_apache_reads_ours():
     assert back.column("u").combine_chunks().to_pylist() == u.to_pylist()
     ap = orc.ORCFile(io.BytesIO(raw)).read()
     assert ap.column("u").combine_chunks().to_pylist() == u.to_pylist()
+
+
+@pytest.mark.parametrize("comp", ["snappy", "lz4"])
+def test_snappy_and_lz4_orc_files_decode(tmp_path, comp):
+    """SNAPPY(2)/LZ4(4) section compression — `todo!()` in the reference
+    (decompress/mod.rs:80-88) — via pure-Python block decoders under the
+    same 3-byte chunk framing, validated against the Apache C++ writer."""
+    n = 50_000
+    tbl = pa.table({
+        "i": pa.array(np.arange(n)),
+        "s": pa.array([f"value-{i % 997}-{'x' * (i % 13)}"
+                       for i in range(n)]),
+        "f": pa.array(np.random.default_rng(0).uniform(0, 1, n)),
+        "nul": pa.array([None if i % 9 == 0 else i for i in range(n)],
+                        type=pa.int64()),
+    })
+    p = str(tmp_path / f"c_{comp}.orc")
+    orc.write_table(tbl, p, compression=comp)
+    got = orc_reader.read_orc(p)
+    for c in tbl.column_names:
+        assert got.column(c).combine_chunks().equals(
+            tbl.column(c).combine_chunks()), (comp, c)
