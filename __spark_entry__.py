@@ -157,6 +157,31 @@ def q_roundtrip_nested(spark, sf_dir):
         F.element_at("nums", 1).alias("n_chars"))
 
 
+def q_roundtrip_tool_calls(spark, sf_dir):
+    """array<struct> — the per-turn tool-calls shape of a transcripts
+    pipeline — through the codec engine: flattened to parallel leaf arrays
+    plus an element-present array<boolean> leaf. Element 2 is null when
+    n_chars % 3 != 0 (exercises struct-level element nulls); field-level
+    nulls ride each leaf's child Present stream."""
+    _pin(spark)
+    df = (_read(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.array(
+                      F.struct(F.lit("meta").alias("tag"),
+                               F.col("n_chars").alias("v")),
+                      F.when(F.col("n_chars") % 3 == 0,
+                             F.struct(F.lit("len").alias("tag"),
+                                      F.length("text").cast("long")
+                                      .alias("v")))).alias("calls")))
+    rt = _roundtrip(spark, df, "doc_id", ["doc_id"])
+    el = F.element_at("calls", 2)
+    return rt.select(
+        "doc_id", F.size("calls").alias("n_calls"),
+        F.element_at("calls", 1).getField("tag").alias("tag0"),
+        F.element_at("calls", 1).getField("v").alias("v0"),
+        el.getField("tag").alias("tag1"), el.getField("v").alias("v1"))
+
+
 def q_roundtrip_map(spark, sf_dir):
     """Map column kind over REAL driver data: events.props (JSON) parsed to
     map<string,bigint>, through the codec engine (keys/values list leaves —
@@ -468,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_decimal": q_roundtrip_decimal,
         "orc_file_roundtrip": q_orc_file_roundtrip,
         "roundtrip_nested": q_roundtrip_nested,
+        "roundtrip_tool_calls": q_roundtrip_tool_calls,
         "roundtrip_map": q_roundtrip_map,
         "rle_delta_event_id": q_rle_delta_event_id,
         "dict_event_type": q_dict_event_type,
@@ -516,6 +542,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_map":
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
             "1 AS n_keys FROM events",
+        "roundtrip_tool_calls":
+            "SELECT doc_id, 2 AS n_calls, 'meta' AS tag0, n_chars AS v0, "
+            "CASE WHEN n_chars % 3 = 0 THEN 'len' END AS tag1, "
+            "CASE WHEN n_chars % 3 = 0 THEN LENGTH(text) END AS v1 "
+            "FROM documents",
         "roundtrip_nested":
             "WITH t AS (SELECT doc_id, lang, source, n_chars, "
             "[CASE WHEN x = 'the' THEN NULL ELSE x END "

@@ -85,6 +85,7 @@ _STRUCT_SEP = "\u00b7"
 
 _MAP_KEYS = "__map_keys__"
 _MAP_VALS = "__map_vals__"
+_ELEMS = "__elems__"  # per-element present leaf of an array<struct> column
 
 
 def _flatten_exprs(prefix: str, col, dtype) -> list:
@@ -101,6 +102,31 @@ def _flatten_exprs(prefix: str, col, dtype) -> list:
     if isinstance(dtype, T.MapType):
         return [(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}", F.map_keys(col)),
                 (f"{prefix}{_STRUCT_SEP}{_MAP_VALS}", F.map_values(col))]
+    if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)):
+        # array<struct>: one parallel leaf ARRAY per struct field (the ORC
+        # list-of-struct model: the list's child struct owns no data, its
+        # fields do) + an element-present array<boolean> leaf (struct-level
+        # element nulls; field-level nulls ride each leaf's own child
+        # Present stream)
+        out = [(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
+                F.transform(col, lambda x: x.isNotNull()))]
+
+        def field_getter(name: str):
+            # NOT a default-arg lambda: a 2-param lambda would be taken as
+            # transform's (value, index) form
+            return lambda x: x.getField(name)
+
+        for sub in dtype.elementType.fields:
+            if isinstance(sub.dataType, (T.StructType, T.ArrayType,
+                                         T.MapType)):
+                raise ValueError(
+                    f"array<struct> column {prefix!r}: field {sub.name!r} "
+                    "must be a scalar type (nested fields inside "
+                    "array<struct> are not supported)")
+            out.append((f"{prefix}{_STRUCT_SEP}{sub.name}",
+                        F.transform(col, field_getter(sub.name))))
+        return out
     return [(prefix, col)]
 
 
@@ -112,8 +138,12 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     ORC's map layout. Arbitrary struct nesting depth; leaf columns
     round-trip through the codecs like any other column and decode
     reassembles from the schema."""
-    if not any(isinstance(f.dataType, (T.StructType, T.MapType))
-               for f in df.schema.fields):
+    def needs_flatten(dt) -> bool:
+        return (isinstance(dt, (T.StructType, T.MapType))
+                or (isinstance(dt, T.ArrayType)
+                    and isinstance(dt.elementType, T.StructType)))
+
+    if not any(needs_flatten(f.dataType) for f in df.schema.fields):
         return df
     cols = []
     for f in df.schema.fields:
@@ -135,6 +165,14 @@ def _flat_fields(prefix: str, dtype) -> list[T.StructField]:
                               T.ArrayType(dtype.keyType)),
                 T.StructField(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
                               T.ArrayType(dtype.valueType))]
+    if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)):
+        out = [T.StructField(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
+                             T.ArrayType(T.BooleanType()))]
+        for sub in dtype.elementType.fields:
+            out.append(T.StructField(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                                     T.ArrayType(sub.dataType)))
+        return out
     return [T.StructField(prefix, dtype)]
 
 
@@ -158,6 +196,10 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
             kt = next(t for seg, t in items if seg[0] == _MAP_KEYS)
             vt = next(t for seg, t in items if seg[0] == _MAP_VALS)
             return T.MapType(kt.elementType, vt.elementType)
+        if _ELEMS in heads:
+            subs = [T.StructField(seg[0], t.elementType)
+                    for seg, t in items if seg[0] != _ELEMS]
+            return T.ArrayType(T.StructType(subs))
         # struct: group children by head segment (skip the present leaf)
         order, groups = [], {}
         for seg, t in items:
@@ -193,6 +235,15 @@ def _rebuild_expr(prefix: str, dtype):
         return F.map_from_arrays(
             F.col(f"`{prefix}{_STRUCT_SEP}{_MAP_KEYS}`"),
             F.col(f"`{prefix}{_STRUCT_SEP}{_MAP_VALS}`"))
+    if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)):
+        sub = dtype.elementType
+        zipped = F.arrays_zip(
+            F.col(f"`{prefix}{_STRUCT_SEP}{_ELEMS}`").alias("__p"),
+            *[F.col(f"`{prefix}{_STRUCT_SEP}{s.name}`").alias(s.name)
+              for s in sub.fields])
+        return F.transform(zipped, lambda e: F.when(e["__p"], F.struct(
+            *[e[s.name].alias(s.name) for s in sub.fields])))
     return F.col(f"`{prefix}`")
 
 
@@ -319,6 +370,7 @@ def _schema_from_kinds(by_name: dict[str, str],
         "array_float64": T.ArrayType(T.DoubleType()),
         "array_int64": T.ArrayType(T.LongType()),
         "array_string": T.ArrayType(T.StringType()),
+        "array_bool": T.ArrayType(T.BooleanType()),
     }
 
     def to_spark(kind: str) -> T.DataType:
@@ -383,6 +435,8 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     nested_schema = None
     if schema is not None and any(
             isinstance(f.dataType, (T.StructType, T.MapType))
+            or (isinstance(f.dataType, T.ArrayType)
+                and isinstance(f.dataType.elementType, T.StructType))
             for f in schema.fields):
         nested_schema = schema
         schema = _flat_schema(schema)

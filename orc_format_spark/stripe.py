@@ -61,7 +61,7 @@ def spark_kind(dtype_str: str) -> str:
         "date": "date", "binary": "binary",
         "array<float>": "array_float32", "array<double>": "array_float64",
         "array<bigint>": "array_int64", "array<int>": "array_int64",
-        "array<string>": "array_string",
+        "array<string>": "array_string", "array<boolean>": "array_bool",
     }
     if dtype_str in m:
         return m[dtype_str]
@@ -198,6 +198,8 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
             flat = flat.to_numpy(zero_copy_only=False)
             if kind == "array_int64":
                 flat = flat.astype(np.int64, copy=False)
+            elif kind == "array_bool":
+                flat = flat.astype(bool, copy=False)
         vals = (flat, lengths, child_valid)
     else:
         raise ValueError(kind)
@@ -294,6 +296,11 @@ def encode_column(series, kind: str, force_codec: str | None = None,
         row.update(codec=f"int_list:{codec}", data=data, extra=extra,
                    length=rle_v2.encode(lengths, signed=False))
         raw = int(flat.nbytes) + 8 * len(lengths)
+    elif kind == "array_bool":
+        flat, lengths, child_valid = vals
+        row.update(codec="bool_list", data=boolean_rle.encode_bools(flat),
+                   length=rle_v2.encode(lengths, signed=False))
+        raw = len(flat) + 8 * len(lengths)
     elif kind == "array_string":
         # List<string>: list-lengths in Length, child blob in Data, child
         # byte-lengths in DictData (an otherwise-unused stream for lists)
@@ -350,7 +357,8 @@ _CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
               "nullable:int_list:for", "nullable:int_list:for_scale",
               "nullable:str_list"] + [
               f"dec128:{a}:{b}" for a in ("rle_v2", "for", "for_scale")
-              for b in ("rle_v2", "for", "for_scale")]
+              for b in ("rle_v2", "for", "for_scale")] + [
+              "bool_list", "nullable:bool_list"]
 _STREAMS = ("present", "data", "length", "dict_data", "extra")
 
 
@@ -530,7 +538,7 @@ def _concat_decoded(vals_parts: list, valid_parts: list, kind: str):
                     else pa.array([], type=pa.large_utf8()))
         else:
             fdt = {"array_float32": np.float32, "array_float64": np.float64,
-                   "array_int64": np.int64}[kind]
+                   "array_int64": np.int64, "array_bool": bool}[kind]
             flat = np.concatenate(flats) if flats else np.zeros(0, fdt)
         cvs = [v[2] for v in vals_parts]
         if any(cv is not None for cv in cvs):
@@ -557,7 +565,8 @@ def _default_arrow_type(kind: str) -> pa.DataType:
          "array_float32": pa.list_(pa.float32()),
          "array_float64": pa.list_(pa.float64()),
          "array_int64": pa.list_(pa.int64()),
-         "array_string": pa.list_(pa.string()), "binary": pa.binary()}
+         "array_string": pa.list_(pa.string()),
+         "array_bool": pa.list_(pa.bool_()), "binary": pa.binary()}
     if kind in m:
         return m[kind]
     mdec = re.match(r"decimal_(\d+)_(\d+)$", kind)
@@ -788,6 +797,8 @@ def _decode_column_parts(row: dict):
         if kind.startswith("array_float"):
             fdtype = "float32" if kind.endswith("32") else "float64"
             flat = floats.decode(data, n_child, fdtype)
+        elif kind == "array_bool":
+            flat = boolean_rle.decode_bools(data, n_child)
         elif kind == "array_int64":
             child_codec = codec.split(":", 1)[1]
             flat = selector.decode_ints(child_codec, data, extra, n_child)

@@ -166,3 +166,30 @@ def test_deep_struct_schema_free_decode(spark):
     dec = pipeline.decode_dataframe(stripes)  # no schema, no columns
     got = {r["id"]: r.asDict(recursive=True)["a"] for r in dec.collect()}
     assert got == {1: {"x": 1, "b": {"y": "q"}}, 2: {"x": 2, "b": None}}
+
+
+def test_array_of_struct_roundtrip(spark):
+    """array<struct<...>> — the transcripts/tool-calls shape — flattened to
+    parallel leaf arrays + an element-present array<boolean> leaf; nulls at
+    the list level, element level, and field level all survive."""
+    schema = ("id long, msgs array<struct<role: string, n_tok: bigint, "
+              "score: double, flag: boolean>>")
+    rows = [
+        (1, [{"role": "user", "n_tok": 5, "score": 0.5, "flag": True},
+             {"role": None, "n_tok": None, "score": 1.5, "flag": False}]),
+        (2, []),
+        (3, None),
+        (4, [None, {"role": "tool", "n_tok": 9, "score": None,
+                    "flag": None}]),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True)["msgs"] for r in df.collect()}
+    dec = pipeline.decode_dataframe(stripes, schema=df.schema)
+    got = {r["id"]: r.asDict(recursive=True)["msgs"] for r in dec.collect()}
+    assert got == exp
+    # schema-free: leaf names alone re-nest the array<struct>
+    dec2 = pipeline.decode_dataframe(stripes)
+    got2 = {r["id"]: r.asDict(recursive=True)["msgs"] for r in dec2.collect()}
+    assert got2 == exp
