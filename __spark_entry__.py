@@ -159,27 +159,35 @@ def q_roundtrip_nested(spark, sf_dir):
 
 def q_roundtrip_tool_calls(spark, sf_dir):
     """array<struct> — the per-turn tool-calls shape of a transcripts
-    pipeline — through the codec engine: flattened to parallel leaf arrays
-    plus an element-present array<boolean> leaf. Element 2 is null when
-    n_chars % 3 != 0 (exercises struct-level element nulls); field-level
-    nulls ride each leaf's child Present stream."""
+    pipeline, with a NESTED fn struct per element (the OpenAI-style
+    tool_calls layout) — through the codec engine: flattened to parallel
+    leaf arrays plus per-level present array<boolean> leaves. Element 2 is
+    null when n_chars % 3 != 0 (struct-level element nulls); fn is null
+    when n_chars is even (inner-struct-level nulls); field-level nulls
+    ride each leaf's child Present stream."""
     _pin(spark)
+    fn = F.when(F.col("n_chars") % 2 == 1,
+                F.struct(F.col("lang").alias("name"),
+                         (F.col("n_chars") + 1).alias("n")))
     df = (_read(spark, sf_dir, "documents")
           .select("doc_id",
                   F.array(
                       F.struct(F.lit("meta").alias("tag"),
-                               F.col("n_chars").alias("v")),
+                               F.col("n_chars").alias("v"),
+                               fn.alias("fn")),
                       F.when(F.col("n_chars") % 3 == 0,
                              F.struct(F.lit("len").alias("tag"),
                                       F.length("text").cast("long")
-                                      .alias("v")))).alias("calls")))
+                                      .alias("v"),
+                                      fn.alias("fn")))).alias("calls")))
     rt = _roundtrip(spark, df, "doc_id", ["doc_id"])
-    el = F.element_at("calls", 2)
+    e1, e2 = F.element_at("calls", 1), F.element_at("calls", 2)
     return rt.select(
         "doc_id", F.size("calls").alias("n_calls"),
-        F.element_at("calls", 1).getField("tag").alias("tag0"),
-        F.element_at("calls", 1).getField("v").alias("v0"),
-        el.getField("tag").alias("tag1"), el.getField("v").alias("v1"))
+        e1.getField("tag").alias("tag0"), e1.getField("v").alias("v0"),
+        e1.getField("fn").getField("name").alias("fn_name0"),
+        e1.getField("fn").getField("n").alias("fn_n0"),
+        e2.getField("tag").alias("tag1"), e2.getField("v").alias("v1"))
 
 
 def q_roundtrip_map(spark, sf_dir):
@@ -544,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
             "1 AS n_keys FROM events",
         "roundtrip_tool_calls":
             "SELECT doc_id, 2 AS n_calls, 'meta' AS tag0, n_chars AS v0, "
+            "CASE WHEN n_chars % 2 = 1 THEN lang END AS fn_name0, "
+            "CASE WHEN n_chars % 2 = 1 THEN n_chars + 1 END AS fn_n0, "
             "CASE WHEN n_chars % 3 = 0 THEN 'len' END AS tag1, "
             "CASE WHEN n_chars % 3 = 0 THEN LENGTH(text) END AS v1 "
             "FROM documents",

@@ -88,11 +88,47 @@ _MAP_VALS = "__map_vals__"
 _ELEMS = "__elems__"  # per-element present leaf of an array<struct> column
 
 
+def _compose_getter(get, name: str):
+    """element-lambda composition for F.transform; NOT default-arg lambdas:
+    any 2-param lambda (defaults included) is taken as transform's
+    (value, index) form."""
+    return lambda x: get(x).getField(name)
+
+
+def _present_getter(get):
+    return lambda x: get(x).isNotNull()
+
+
+def _elem_getters(rel: str, get, dtype) -> list:
+    """(relative leaf name, element->scalar fn) pairs for one field of an
+    array<struct> element. Structs nest to any depth, each level adding a
+    per-element ``__present__`` array<boolean> leaf (null elements yield
+    False there via null.getField().isNotNull() — masked on rebuild by the
+    outer element-present leaf, so the distinction never surfaces).
+    Arrays/maps INSIDE an element would need a second Length-stream nesting
+    level and raise loudly."""
+    if isinstance(dtype, T.StructType):
+        out = [(f"{rel}{_STRUCT_SEP}__present__", _present_getter(get))]
+        for sub in dtype.fields:
+            out.extend(_elem_getters(f"{rel}{_STRUCT_SEP}{sub.name}",
+                                     _compose_getter(get, sub.name),
+                                     sub.dataType))
+        return out
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        raise ValueError(
+            f"array<struct> leaf {rel!r}: arrays/maps nested inside a list "
+            "element need double list nesting and are not supported")
+    return [(rel, get)]
+
+
 def _flatten_exprs(prefix: str, col, dtype) -> list:
     """(name, Column) leaf pairs for one field, recursively: structs at ANY
     depth become ``a·b·c`` leaves, each struct level contributing its own
     hidden ``__present__`` boolean leaf (ORC gives struct columns exactly
-    one stream — Present); maps become parallel keys/values list leaves."""
+    one stream — Present); maps become parallel keys/values list leaves,
+    each recursing (so map<k, struct<...>> rides the array<struct>
+    machinery); array<struct> becomes one parallel leaf ARRAY per element
+    leaf plus an element-present array<boolean> leaf."""
     if isinstance(dtype, T.StructType):
         out = [(f"{prefix}{_STRUCT_SEP}__present__", col.isNotNull())]
         for sub in dtype.fields:
@@ -100,32 +136,28 @@ def _flatten_exprs(prefix: str, col, dtype) -> list:
                                       col.getField(sub.name), sub.dataType))
         return out
     if isinstance(dtype, T.MapType):
-        return [(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}", F.map_keys(col)),
-                (f"{prefix}{_STRUCT_SEP}{_MAP_VALS}", F.map_values(col))]
+        return (_flatten_exprs(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
+                               F.map_keys(col),
+                               T.ArrayType(dtype.keyType, False))
+                + _flatten_exprs(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
+                                 F.map_values(col),
+                                 T.ArrayType(dtype.valueType,
+                                             dtype.valueContainsNull)))
     if (isinstance(dtype, T.ArrayType)
             and isinstance(dtype.elementType, T.StructType)):
-        # array<struct>: one parallel leaf ARRAY per struct field (the ORC
+        # array<struct>: one parallel leaf ARRAY per element leaf (the ORC
         # list-of-struct model: the list's child struct owns no data, its
         # fields do) + an element-present array<boolean> leaf (struct-level
         # element nulls; field-level nulls ride each leaf's own child
         # Present stream)
         out = [(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
                 F.transform(col, lambda x: x.isNotNull()))]
-
-        def field_getter(name: str):
-            # NOT a default-arg lambda: a 2-param lambda would be taken as
-            # transform's (value, index) form
-            return lambda x: x.getField(name)
-
         for sub in dtype.elementType.fields:
-            if isinstance(sub.dataType, (T.StructType, T.ArrayType,
-                                         T.MapType)):
-                raise ValueError(
-                    f"array<struct> column {prefix!r}: field {sub.name!r} "
-                    "must be a scalar type (nested fields inside "
-                    "array<struct> are not supported)")
-            out.append((f"{prefix}{_STRUCT_SEP}{sub.name}",
-                        F.transform(col, field_getter(sub.name))))
+            for rel, get in _elem_getters(
+                    sub.name, _compose_getter(lambda x: x, sub.name),
+                    sub.dataType):
+                out.append((f"{prefix}{_STRUCT_SEP}{rel}",
+                            F.transform(col, get)))
         return out
     return [(prefix, col)]
 
@@ -152,6 +184,24 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     return df.select(cols)
 
 
+def _elem_flat_fields(prefix: str, dtype) -> list[T.StructField]:
+    """flat-leaf StructFields for one array<struct> element field: every
+    leaf is the element leaf's type wrapped in ArrayType (the parallel
+    leaf-array model), struct levels adding an array<boolean> present."""
+    if isinstance(dtype, T.StructType):
+        out = [T.StructField(f"{prefix}{_STRUCT_SEP}__present__",
+                             T.ArrayType(T.BooleanType()))]
+        for sub in dtype.fields:
+            out.extend(_elem_flat_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                                         sub.dataType))
+        return out
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        raise ValueError(
+            f"array<struct> leaf {prefix!r}: arrays/maps nested inside a "
+            "list element need double list nesting and are not supported")
+    return [T.StructField(prefix, T.ArrayType(dtype))]
+
+
 def _flat_fields(prefix: str, dtype) -> list[T.StructField]:
     if isinstance(dtype, T.StructType):
         out = [T.StructField(f"{prefix}{_STRUCT_SEP}__present__",
@@ -161,17 +211,18 @@ def _flat_fields(prefix: str, dtype) -> list[T.StructField]:
                                     sub.dataType))
         return out
     if isinstance(dtype, T.MapType):
-        return [T.StructField(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
-                              T.ArrayType(dtype.keyType)),
-                T.StructField(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
-                              T.ArrayType(dtype.valueType))]
+        return (_flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
+                             T.ArrayType(dtype.keyType, False))
+                + _flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
+                               T.ArrayType(dtype.valueType,
+                                           dtype.valueContainsNull)))
     if (isinstance(dtype, T.ArrayType)
             and isinstance(dtype.elementType, T.StructType)):
         out = [T.StructField(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
                              T.ArrayType(T.BooleanType()))]
         for sub in dtype.elementType.fields:
-            out.append(T.StructField(f"{prefix}{_STRUCT_SEP}{sub.name}",
-                                     T.ArrayType(sub.dataType)))
+            out.extend(_elem_flat_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                                         sub.dataType))
         return out
     return [T.StructField(prefix, dtype)]
 
@@ -187,31 +238,34 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
     """Inverse of _flat_schema: rebuild nested fields from ``a·b·c`` names
     (used when decoding a persisted nested encode without a caller schema).
     Field order inside each struct follows the flat column order."""
-    def build(items: list[tuple[list[str], T.DataType]]) -> T.DataType | list:
-        # items: (remaining name segments, leaf type), order-preserving
+    def build(items: list[tuple[list[str], T.DataType]],
+              elem: bool = False) -> T.DataType:
+        # items: (remaining name segments, leaf type), order-preserving;
+        # elem=True means we are inside an array<struct> element, where
+        # every leaf type is ArrayType-wrapped (unwrap at the leaf)
         if len(items) == 1 and not items[0][0]:
-            return items[0][1]  # plain leaf
+            t = items[0][1]
+            return t.elementType if elem else t  # plain leaf
         heads = [seg[0] for seg, _ in items]
         if _MAP_KEYS in heads:
-            kt = next(t for seg, t in items if seg[0] == _MAP_KEYS)
-            vt = next(t for seg, t in items if seg[0] == _MAP_VALS)
-            return T.MapType(kt.elementType, vt.elementType)
-        if _ELEMS in heads:
-            subs = [T.StructField(seg[0], t.elementType)
-                    for seg, t in items if seg[0] != _ELEMS]
-            return T.ArrayType(T.StructType(subs))
-        # struct: group children by head segment (skip the present leaf)
+            ks = [(seg[1:], t) for seg, t in items if seg[0] == _MAP_KEYS]
+            vs = [(seg[1:], t) for seg, t in items if seg[0] == _MAP_VALS]
+            return T.MapType(build(ks).elementType, build(vs).elementType)
+        # struct (or array<struct> when an element-present leaf is here):
+        # group children by head segment, skipping the present leaves
         order, groups = [], {}
         for seg, t in items:
             h = seg[0]
-            if h == "__present__":
+            if h in ("__present__", _ELEMS):
                 continue
             if h not in groups:
                 order.append(h)
                 groups[h] = []
             groups[h].append((seg[1:], t))
-        return T.StructType([T.StructField(h, build(groups[h]))
-                             for h in order])
+        in_elem = elem or _ELEMS in heads
+        st = T.StructType([T.StructField(h, build(groups[h], in_elem))
+                           for h in order])
+        return T.ArrayType(st) if _ELEMS in heads else st
 
     order, groups = [], {}
     for f in flat.fields:
@@ -233,17 +287,32 @@ def _rebuild_expr(prefix: str, dtype):
         return F.when(present, F.struct(*parts))
     if isinstance(dtype, T.MapType):
         return F.map_from_arrays(
-            F.col(f"`{prefix}{_STRUCT_SEP}{_MAP_KEYS}`"),
-            F.col(f"`{prefix}{_STRUCT_SEP}{_MAP_VALS}`"))
+            _rebuild_expr(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
+                          T.ArrayType(dtype.keyType, False)),
+            _rebuild_expr(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
+                          T.ArrayType(dtype.valueType,
+                                      dtype.valueContainsNull)))
     if (isinstance(dtype, T.ArrayType)
             and isinstance(dtype.elementType, T.StructType)):
-        sub = dtype.elementType
+        elem = dtype.elementType
+        rels = [f.name for sub in elem.fields
+                for f in _elem_flat_fields(sub.name, sub.dataType)]
         zipped = F.arrays_zip(
-            F.col(f"`{prefix}{_STRUCT_SEP}{_ELEMS}`").alias("__p"),
-            *[F.col(f"`{prefix}{_STRUCT_SEP}{s.name}`").alias(s.name)
-              for s in sub.fields])
-        return F.transform(zipped, lambda e: F.when(e["__p"], F.struct(
-            *[e[s.name].alias(s.name) for s in sub.fields])))
+            F.col(f"`{prefix}{_STRUCT_SEP}{_ELEMS}`").alias(_ELEMS),
+            *[F.col(f"`{prefix}{_STRUCT_SEP}{rel}`").alias(rel)
+              for rel in rels])
+
+        def mk(e, rel: str, dt):
+            if isinstance(dt, T.StructType):
+                parts = [mk(e, f"{rel}{_STRUCT_SEP}{s.name}", s.dataType)
+                         .alias(s.name) for s in dt.fields]
+                return F.when(e[f"{rel}{_STRUCT_SEP}__present__"],
+                              F.struct(*parts))
+            return e[rel]
+
+        return F.transform(zipped, lambda e: F.when(e[_ELEMS], F.struct(
+            *[mk(e, s.name, s.dataType).alias(s.name)
+              for s in elem.fields])))
     return F.col(f"`{prefix}`")
 
 
@@ -371,6 +440,8 @@ def _schema_from_kinds(by_name: dict[str, str],
         "array_int64": T.ArrayType(T.LongType()),
         "array_string": T.ArrayType(T.StringType()),
         "array_bool": T.ArrayType(T.BooleanType()),
+        "array_ts": T.ArrayType(T.TimestampType()),
+        "array_date": T.ArrayType(T.DateType()),
     }
 
     def to_spark(kind: str) -> T.DataType:

@@ -62,6 +62,8 @@ def spark_kind(dtype_str: str) -> str:
         "array<float>": "array_float32", "array<double>": "array_float64",
         "array<bigint>": "array_int64", "array<int>": "array_int64",
         "array<string>": "array_string", "array<boolean>": "array_bool",
+        "array<timestamp>": "array_ts", "array<timestamp_ntz>": "array_ts",
+        "array<date>": "array_date",
     }
     if dtype_str in m:
         return m[dtype_str]
@@ -195,8 +197,12 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
         else:
             child_valid = None
         if kind != "array_string":
+            if kind == "array_ts":  # epoch µs through the int codecs
+                flat = flat.cast(pa.int64())
+            elif kind == "array_date":  # epoch days
+                flat = flat.cast(pa.int32())
             flat = flat.to_numpy(zero_copy_only=False)
-            if kind == "array_int64":
+            if kind in ("array_int64", "array_ts", "array_date"):
                 flat = flat.astype(np.int64, copy=False)
             elif kind == "array_bool":
                 flat = flat.astype(bool, copy=False)
@@ -290,7 +296,7 @@ def encode_column(series, kind: str, force_codec: str | None = None,
         row.update(codec="float_list", data=floats.encode(flat, fdtype),
                    length=rle_v2.encode(lengths, signed=False))
         raw = int(flat.nbytes) + 8 * len(lengths)
-    elif kind == "array_int64":
+    elif kind in ("array_int64", "array_ts", "array_date"):
         flat, lengths, child_valid = vals
         codec, data, extra = selector.encode_ints(flat)
         row.update(codec=f"int_list:{codec}", data=data, extra=extra,
@@ -538,7 +544,8 @@ def _concat_decoded(vals_parts: list, valid_parts: list, kind: str):
                     else pa.array([], type=pa.large_utf8()))
         else:
             fdt = {"array_float32": np.float32, "array_float64": np.float64,
-                   "array_int64": np.int64, "array_bool": bool}[kind]
+                   "array_int64": np.int64, "array_bool": bool,
+                   "array_ts": np.int64, "array_date": np.int64}[kind]
             flat = np.concatenate(flats) if flats else np.zeros(0, fdt)
         cvs = [v[2] for v in vals_parts]
         if any(cv is not None for cv in cvs):
@@ -566,7 +573,9 @@ def _default_arrow_type(kind: str) -> pa.DataType:
          "array_float64": pa.list_(pa.float64()),
          "array_int64": pa.list_(pa.int64()),
          "array_string": pa.list_(pa.string()),
-         "array_bool": pa.list_(pa.bool_()), "binary": pa.binary()}
+         "array_bool": pa.list_(pa.bool_()),
+         "array_ts": pa.list_(pa.timestamp("us")),
+         "array_date": pa.list_(pa.date32()), "binary": pa.binary()}
     if kind in m:
         return m[kind]
     mdec = re.match(r"decimal_(\d+)_(\d+)$", kind)
@@ -799,7 +808,7 @@ def _decode_column_parts(row: dict):
             flat = floats.decode(data, n_child, fdtype)
         elif kind == "array_bool":
             flat = boolean_rle.decode_bools(data, n_child)
-        elif kind == "array_int64":
+        elif kind in ("array_int64", "array_ts", "array_date"):
             child_codec = codec.split(":", 1)[1]
             flat = selector.decode_ints(child_codec, data, extra, n_child)
         elif kind == "array_string":
@@ -842,6 +851,14 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
         offsets = np.zeros(n_valid + 1, dtype=np.int64)
         np.cumsum(lengths.astype(np.int64), out=offsets[1:])
         child = flat if isinstance(flat, pa.Array) else pa.array(flat)
+        if kind == "array_ts":
+            child = child.cast(pa.timestamp("us"))
+            vt = getattr(target_type, "value_type", None)
+            if vt is not None and pa.types.is_timestamp(vt) and vt.tz:
+                import pyarrow.compute as pc
+                child = pc.assume_timezone(child, "UTC")  # UTC instants
+        elif kind == "array_date":
+            child = child.cast(pa.int32()).cast(pa.date32())
         if child_valid is not None:
             # scatter non-null child values into the full slot positions
             total = len(child_valid)

@@ -193,3 +193,88 @@ def test_array_of_struct_roundtrip(spark):
     dec2 = pipeline.decode_dataframe(stripes)
     got2 = {r["id"]: r.asDict(recursive=True)["msgs"] for r in dec2.collect()}
     assert got2 == exp
+
+
+def test_array_of_struct_with_nested_struct_roundtrip(spark):
+    """The OpenAI-style tool_calls shape: array<struct<id, fn:struct<name,
+    args>>>. The nested struct field rides per-element present leaves at
+    every level; nulls at list / element / inner-struct / field level all
+    survive."""
+    schema = ("id long, tc array<struct<cid: string, "
+              "fn: struct<name: string, args: string, n: bigint>>>")
+    rows = [
+        (1, [{"cid": "a", "fn": {"name": "srch", "args": "{}", "n": 3}},
+             {"cid": "b", "fn": None}]),
+        (2, [{"cid": None, "fn": {"name": None, "args": "x", "n": None}},
+             None]),
+        (3, []),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True)["tc"] for r in df.collect()}
+    dec = pipeline.decode_dataframe(stripes, schema=df.schema)
+    got = {r["id"]: r.asDict(recursive=True)["tc"] for r in dec.collect()}
+    assert got == exp
+    dec2 = pipeline.decode_dataframe(stripes)  # schema-free re-nest
+    got2 = {r["id"]: r.asDict(recursive=True)["tc"] for r in dec2.collect()}
+    assert got2 == exp
+
+
+def test_map_of_struct_roundtrip(spark):
+    """map<string, struct<...>>: the values leaf is array<struct> and rides
+    that machinery (keys list + per-field parallel leaves + value-present)."""
+    schema = "id long, m map<string, struct<x: bigint, s: string>>"
+    rows = [
+        (1, {"k1": {"x": 1, "s": "a"}, "k2": {"x": None, "s": None}}),
+        (2, {"k3": None}),
+        (3, {}),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True)["m"] for r in df.collect()}
+    dec = pipeline.decode_dataframe(stripes, schema=df.schema)
+    got = {r["id"]: r.asDict(recursive=True)["m"] for r in dec.collect()}
+    assert got == exp
+    dec2 = pipeline.decode_dataframe(stripes)
+    got2 = {r["id"]: r.asDict(recursive=True)["m"] for r in dec2.collect()}
+    assert got2 == exp
+
+
+def test_array_inside_array_element_raises(spark):
+    """Double list nesting stays a loud error, not a silent mis-encode."""
+    df = spark.createDataFrame(
+        [(1, [{"v": [1, 2]}])],
+        schema="id long, a array<struct<v: array<bigint>>>")
+    with pytest.raises(Exception, match="double list nesting"):
+        pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                  stripe_rows=10).collect()
+
+
+def test_array_of_timestamp_and_date_roundtrip(spark):
+    """array<timestamp> / array<date> leaves: children ride the int codecs
+    as epoch µs / days — including as fields INSIDE array<struct> (the
+    tool-call started_at shape)."""
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 2, 3, 4, 5, 123456)
+    d0 = dt.date(2026, 1, 2)
+    schema = ("id long, ts array<timestamp>, ds array<date>, "
+              "tc array<struct<name: string, at: timestamp>>")
+    rows = [
+        (1, [t0, t0 + dt.timedelta(seconds=7), None],
+            [d0, None, d0 + dt.timedelta(days=3)],
+            [{"name": "srch", "at": t0}, {"name": "run", "at": None}]),
+        (2, [], [], []),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    for dec in (pipeline.decode_dataframe(stripes, schema=df.schema),
+                pipeline.decode_dataframe(stripes)):  # schema-free too
+        got = {r["id"]: r.asDict(recursive=True) for r in dec.collect()}
+        assert got == exp
