@@ -169,17 +169,20 @@ def q_roundtrip_tool_calls(spark, sf_dir):
     fn = F.when(F.col("n_chars") % 2 == 1,
                 F.struct(F.col("lang").alias("name"),
                          (F.col("n_chars") + 1).alias("n")))
+    args = F.create_map(F.lit("q"), F.col("lang"),
+                        F.lit("k"), F.col("source"))
     df = (_read(spark, sf_dir, "documents")
           .select("doc_id",
                   F.array(
                       F.struct(F.lit("meta").alias("tag"),
                                F.col("n_chars").alias("v"),
-                               fn.alias("fn")),
+                               fn.alias("fn"), args.alias("args")),
                       F.when(F.col("n_chars") % 3 == 0,
                              F.struct(F.lit("len").alias("tag"),
                                       F.length("text").cast("long")
                                       .alias("v"),
-                                      fn.alias("fn")))).alias("calls")))
+                                      fn.alias("fn"),
+                                      args.alias("args")))).alias("calls")))
     rt = _roundtrip(spark, df, "doc_id", ["doc_id"])
     e1, e2 = F.element_at("calls", 1), F.element_at("calls", 2)
     return rt.select(
@@ -187,6 +190,8 @@ def q_roundtrip_tool_calls(spark, sf_dir):
         e1.getField("tag").alias("tag0"), e1.getField("v").alias("v0"),
         e1.getField("fn").getField("name").alias("fn_name0"),
         e1.getField("fn").getField("n").alias("fn_n0"),
+        e1.getField("args")["q"].alias("arg_q0"),
+        e1.getField("args")["k"].alias("arg_k0"),
         e2.getField("tag").alias("tag1"), e2.getField("v").alias("v1"))
 
 
@@ -554,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 2 AS n_calls, 'meta' AS tag0, n_chars AS v0, "
             "CASE WHEN n_chars % 2 = 1 THEN lang END AS fn_name0, "
             "CASE WHEN n_chars % 2 = 1 THEN n_chars + 1 END AS fn_n0, "
+            "lang AS arg_q0, source AS arg_k0, "
             "CASE WHEN n_chars % 3 = 0 THEN 'len' END AS tag1, "
             "CASE WHEN n_chars % 3 = 0 THEN LENGTH(text) END AS v1 "
             "FROM documents",

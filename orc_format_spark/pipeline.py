@@ -99,6 +99,23 @@ def _present_getter(get):
     return lambda x: get(x).isNotNull()
 
 
+def _fn_getter(get, fn):
+    return lambda x: fn(get(x))
+
+
+def _require_no_struct_below(rel: str, dtype) -> None:
+    """Arrays inside a list element are fine (the recursive ``list:`` kind
+    encodes array<array<...>> leaves at any depth) — but a struct or map
+    BELOW such an array has no parallel-leaf flattening and raises."""
+    et = dtype.elementType
+    if isinstance(et, (T.StructType, T.MapType)):
+        raise ValueError(
+            f"array<struct> leaf {rel!r}: struct/map nested below an array "
+            "inside a list element is not supported")
+    if isinstance(et, T.ArrayType):
+        _require_no_struct_below(rel, et)
+
+
 def _elem_getters(rel: str, get, dtype) -> list:
     """(relative leaf name, element->scalar fn) pairs for one field of an
     array<struct> element. Structs nest to any depth, each level adding a
@@ -114,10 +131,18 @@ def _elem_getters(rel: str, get, dtype) -> list:
                                      _compose_getter(get, sub.name),
                                      sub.dataType))
         return out
-    if isinstance(dtype, (T.ArrayType, T.MapType)):
-        raise ValueError(
-            f"array<struct> leaf {rel!r}: arrays/maps nested inside a list "
-            "element need double list nesting and are not supported")
+    if isinstance(dtype, T.MapType):
+        # map inside a list element: per-element keys/values array leaves
+        # (the flattened leaf is array<array<...>> — a recursive list: kind)
+        return (_elem_getters(f"{rel}{_STRUCT_SEP}{_MAP_KEYS}",
+                              _fn_getter(get, F.map_keys),
+                              T.ArrayType(dtype.keyType, False))
+                + _elem_getters(f"{rel}{_STRUCT_SEP}{_MAP_VALS}",
+                                _fn_getter(get, F.map_values),
+                                T.ArrayType(dtype.valueType,
+                                            dtype.valueContainsNull)))
+    if isinstance(dtype, T.ArrayType):
+        _require_no_struct_below(rel, dtype)
     return [(rel, get)]
 
 
@@ -195,10 +220,14 @@ def _elem_flat_fields(prefix: str, dtype) -> list[T.StructField]:
             out.extend(_elem_flat_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
                                          sub.dataType))
         return out
-    if isinstance(dtype, (T.ArrayType, T.MapType)):
-        raise ValueError(
-            f"array<struct> leaf {prefix!r}: arrays/maps nested inside a "
-            "list element need double list nesting and are not supported")
+    if isinstance(dtype, T.MapType):
+        return (_elem_flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
+                                  T.ArrayType(dtype.keyType, False))
+                + _elem_flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
+                                    T.ArrayType(dtype.valueType,
+                                                dtype.valueContainsNull)))
+    if isinstance(dtype, T.ArrayType):
+        _require_no_struct_below(prefix, dtype)
     return [T.StructField(prefix, T.ArrayType(dtype))]
 
 
@@ -250,7 +279,8 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
         if _MAP_KEYS in heads:
             ks = [(seg[1:], t) for seg, t in items if seg[0] == _MAP_KEYS]
             vs = [(seg[1:], t) for seg, t in items if seg[0] == _MAP_VALS]
-            return T.MapType(build(ks).elementType, build(vs).elementType)
+            return T.MapType(build(ks, elem).elementType,
+                             build(vs, elem).elementType)
         # struct (or array<struct> when an element-present leaf is here):
         # group children by head segment, skipping the present leaves
         order, groups = [], {}
@@ -308,6 +338,10 @@ def _rebuild_expr(prefix: str, dtype):
                          .alias(s.name) for s in dt.fields]
                 return F.when(e[f"{rel}{_STRUCT_SEP}__present__"],
                               F.struct(*parts))
+            if isinstance(dt, T.MapType):
+                return F.map_from_arrays(
+                    e[f"{rel}{_STRUCT_SEP}{_MAP_KEYS}"],
+                    e[f"{rel}{_STRUCT_SEP}{_MAP_VALS}"])
             return e[rel]
 
         return F.transform(zipped, lambda e: F.when(e[_ELEMS], F.struct(
@@ -450,6 +484,8 @@ def _schema_from_kinds(by_name: dict[str, str],
         if kind.startswith("decimal_"):
             _, p, s = kind.split("_")
             return T.DecimalType(int(p), int(s))
+        if kind.startswith("list:"):
+            return T.ArrayType(to_spark(kind[5:]))
         raise ValueError(kind)
 
     cols = columns or sorted(by_name)

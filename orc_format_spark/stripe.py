@@ -82,6 +82,14 @@ def spark_kind(dtype_str: str) -> str:
     if mdec:
         p, s = int(mdec.group(1)), int(mdec.group(2))
         return f"decimal_{p}_{s}"
+    # generic nested list: array<X> for any already-supported X (including
+    # another array) becomes a recursive ``list:<child kind>`` column — the
+    # child column is encoded as its own full stripe-column (present/data/
+    # length/... streams chosen by the selector) and packed into the
+    # parent's Data stream; arbitrary nesting depth
+    marr = re.match(r"array<(.+)>$", dtype_str)
+    if marr:
+        return f"list:{spark_kind(marr.group(1))}"
     raise ValueError(f"unsupported column type: {dtype_str}")
 
 
@@ -182,6 +190,17 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
         else:
             # (n, 2) int64: [:,0] = lo word (bit pattern), [:,1] = hi word
             vals = words.copy()
+    elif kind.startswith("list:"):
+        # recursive list: (flat child Arrow array WITH its nulls, per-row
+        # slot lengths) — child nulls are the recursively-encoded child
+        # column's own Present stream, no wrapper needed
+        import pyarrow.compute as pc
+        lengths = pc.list_value_length(nn).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        flat = nn.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vals = (flat, lengths)
     elif kind.startswith("array_"):
         # list columns: (flat non-null child values, per-row SLOT lengths,
         # child validity or None) — the ORC List layout (Length stream +
@@ -212,13 +231,53 @@ def _values_and_mask_arrow(arr: pa.Array, kind: str):
     return vals, valid
 
 
+def _pack_child_row(r: dict) -> bytes:
+    """Serialize a recursively-encoded child column row (codec, compression,
+    counts, all 5 streams + checksum) into one varint-framed blob that rides
+    the parent list's Data stream."""
+    out = []
+    for s in (r["codec"], r["compression"] or "none|none", r["checksum"]):
+        b = s.encode("utf-8")
+        out.append(varint.encode_unsigned(len(b)))
+        out.append(b)
+    out.append(varint.encode_unsigned(r["n_rows"]))
+    out.append(varint.encode_unsigned(r["n_nulls"]))
+    out.append(varint.encode_unsigned(0 if r["ndv"] is None else r["ndv"] + 1))
+    for s in _STREAMS:
+        b = bytes(r[s])
+        out.append(varint.encode_unsigned(len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def _unpack_child_row(blob: bytes, child_kind: str) -> dict:
+    pos = 0
+    strs = []
+    for _ in range(3):
+        ln, pos = varint.decode_unsigned(blob, pos)
+        strs.append(blob[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    r = {"codec": strs[0], "compression": strs[1], "checksum": strs[2],
+         "col_kind": child_kind}
+    r["n_rows"], pos = varint.decode_unsigned(blob, pos)
+    r["n_nulls"], pos = varint.decode_unsigned(blob, pos)
+    ndv, pos = varint.decode_unsigned(blob, pos)
+    r["ndv"] = None if ndv == 0 else ndv - 1
+    for s in _STREAMS:
+        ln, pos = varint.decode_unsigned(blob, pos)
+        r[s] = blob[pos:pos + ln]
+        pos += ln
+    return r
+
+
 def encode_column(series, kind: str, force_codec: str | None = None,
                   with_bloom: bool = False) -> dict:
     """Encode one column of one stripe; returns a stripe-column row dict.
     Accepts a pandas Series or an Arrow (Chunked)Array. ``with_bloom``
     attaches a distinct-value bloom (point-lookup stripe pruning)."""
     n = len(series)
-    if kind.startswith("array_") and not isinstance(series, (pa.Array, pa.ChunkedArray)):
+    if ((kind.startswith("array_") or kind.startswith("list:"))
+            and not isinstance(series, (pa.Array, pa.ChunkedArray))):
         series = pa.Array.from_pandas(series)
     if isinstance(series, (pa.Array, pa.ChunkedArray)):
         vals, valid = _values_and_mask_arrow(series, kind)
@@ -307,6 +366,18 @@ def encode_column(series, kind: str, force_codec: str | None = None,
         row.update(codec="bool_list", data=boolean_rle.encode_bools(flat),
                    length=rle_v2.encode(lengths, signed=False))
         raw = len(flat) + 8 * len(lengths)
+    elif kind.startswith("list:"):
+        # recursive list: slot lengths in Length, the child column encoded
+        # as its own full stripe-column row packed into Data (arbitrary
+        # nesting depth; child nulls ride the child's own Present stream)
+        flat, lengths = vals
+        crow = encode_column(flat, kind[5:])
+        row.update(codec="list", data=_pack_child_row(crow),
+                   length=rle_v2.encode(lengths, signed=False))
+        raw = int(crow["raw_bytes"]) + 8 * len(lengths)
+        # checksum input: child integrity rides the child row's checksum
+        vals = (np.frombuffer(crow["checksum"].encode(), dtype=np.uint8),
+                lengths, None)
     elif kind == "array_string":
         # List<string>: list-lengths in Length, child blob in Data, child
         # byte-lengths in DictData (an otherwise-unused stream for lists)
@@ -424,6 +495,11 @@ def encode_column_strided(series, kind: str, index_rows: int,
     """Encode one column as concatenated per-stride sub-encodings with a
     stride index in ``extra`` (codec='strided'). Each stride is decodable
     in isolation, so a predicate can skip every non-matching stride's bytes."""
+    if kind.startswith("list:"):
+        # nested lists carry no range predicates; skip the stride layout
+        # and keep the recursive child packing whole-stripe
+        return encode_column(series, kind, force_codec=force_codec,
+                             with_bloom=with_bloom)
     if isinstance(series, pd.Series):
         series = pa.Array.from_pandas(series)
     if isinstance(series, pa.ChunkedArray):
@@ -578,6 +654,8 @@ def _default_arrow_type(kind: str) -> pa.DataType:
          "array_date": pa.list_(pa.date32()), "binary": pa.binary()}
     if kind in m:
         return m[kind]
+    if kind.startswith("list:"):
+        return pa.list_(_default_arrow_type(kind[5:]))
     mdec = re.match(r"decimal_(\d+)_(\d+)$", kind)
     if mdec:
         return pa.decimal128(int(mdec.group(1)), int(mdec.group(2)))
@@ -592,7 +670,8 @@ def decode_column(row: dict) -> pa.Array | np.ndarray:
     if row["codec"] == "strided":
         return _to_arrow_array(_decode_strided_parts(row), kind,
                                _default_arrow_type(kind))
-    if kind.startswith("array_") or kind.startswith("decimal_"):
+    if (kind.startswith("array_") or kind.startswith("decimal_")
+            or kind.startswith("list:")):
         return _to_arrow_array(_decode_column_parts(row), kind,
                                _default_arrow_type(kind))
     comp, comp2 = (row["compression"] or "none|none").split("|")
@@ -790,6 +869,11 @@ def _decode_column_parts(row: dict):
         hi_w = selector.decode_ints(c2, dict_data, e2, n_valid)
         vals = np.column_stack((lo_w, hi_w))
         return vals, valid
+    if kind.startswith("list:"):
+        lengths = rle_v2.decode(row["length"], n_valid, signed=False)
+        crow = _unpack_child_row(bytes(data), kind[5:])
+        child_dec = _decode_column_parts(crow)
+        return (child_dec, lengths), valid
     if kind.startswith("array_"):
         lengths = rle_v2.decode(row["length"], n_valid, signed=False)
         total = int(lengths.sum())
@@ -842,6 +926,22 @@ def _to_arrow_array(dec, kind: str, target_type: pa.DataType) -> pa.Array:
     vals, valid = dec
     n = len(valid)
     n_valid = int(valid.sum())
+    if kind.startswith("list:"):
+        child_kind = kind[5:]
+        child_dec, lengths = vals
+        vt = getattr(target_type, "value_type", None)
+        child = _to_arrow_array(child_dec, child_kind,
+                                vt if vt is not None
+                                else _default_arrow_type(child_kind))
+        offsets = np.zeros(n_valid + 1, dtype=np.int64)
+        np.cumsum(lengths.astype(np.int64), out=offsets[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), child)
+        if n_valid != n:
+            idx = np.zeros(n, dtype=np.int64)
+            idx[valid] = np.arange(n_valid)
+            lists = lists.take(pa.array(idx, mask=~valid))
+        return lists.cast(target_type)
     if kind.startswith("array_"):
         flat, lengths, child_valid = vals
         # int64 offsets: a stripe of 65k rows x wide embeddings can exceed

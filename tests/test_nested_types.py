@@ -244,12 +244,59 @@ def test_map_of_struct_roundtrip(spark):
     assert got2 == exp
 
 
-def test_array_inside_array_element_raises(spark):
-    """Double list nesting stays a loud error, not a silent mis-encode."""
+def test_nested_list_columns_roundtrip(spark):
+    """Recursive list: kinds — array<array<T>> at any depth, plain or as a
+    field inside array<struct> elements; nulls at every level survive."""
+    schema = ("id long, aa array<array<bigint>>, "
+              "aas array<array<string>>, "
+              "tc array<struct<name: string, grams: array<double>>>")
+    rows = [
+        (1, [[1, 2], [], None, [None, 3]], [["a", None], []],
+            [{"name": "n1", "grams": [0.5, None]}, {"name": None,
+                                                    "grams": None}]),
+        (2, [], [None], []),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    for dec in (pipeline.decode_dataframe(stripes, schema=df.schema),
+                pipeline.decode_dataframe(stripes)):  # schema-free too
+        got = {r["id"]: r.asDict(recursive=True) for r in dec.collect()}
+        assert got == exp
+
+
+def test_map_inside_array_element_roundtrip(spark):
+    """The REAL tool-call args shape: array<struct<name, args:
+    map<string,string>>> — the per-element map flattens to keys/values
+    array<array<string>> leaves (recursive list: kinds)."""
+    schema = ("id long, tc array<struct<name: string, "
+              "args: map<string, string>>>")
+    rows = [
+        (1, [{"name": "srch", "args": {"q": "x", "k": "5"}},
+             {"name": "run", "args": {}},
+             {"name": "noargs", "args": None}, None]),
+        (2, []),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True)["tc"] for r in df.collect()}
+    for dec in (pipeline.decode_dataframe(stripes, schema=df.schema),
+                pipeline.decode_dataframe(stripes)):
+        got = {r["id"]: r.asDict(recursive=True)["tc"] for r in dec.collect()}
+        assert got == exp
+
+
+def test_struct_below_array_inside_element_raises(spark):
+    """struct/map BELOW an array inside a list element has no parallel-leaf
+    flattening — stays a loud error, not a silent mis-encode."""
     df = spark.createDataFrame(
-        [(1, [{"v": [1, 2]}])],
-        schema="id long, a array<struct<v: array<bigint>>>")
-    with pytest.raises(Exception, match="double list nesting"):
+        [(1, [{"v": [{"x": 1}]}])],
+        schema="id long, a array<struct<v: array<struct<x: bigint>>>>")
+    with pytest.raises(Exception, match="struct/map nested below an array"):
         pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
                                   stripe_rows=10).collect()
 
