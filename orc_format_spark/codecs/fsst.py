@@ -45,22 +45,26 @@ def _gram_keys(data: np.ndarray, L: int) -> np.ndarray:
 
 
 class _GramKeys:
-    """Rolling 8-byte keys over zero-padded data: one O(8n) build, then any
-    L-gram key array is a slice + shift (no copies beyond the build)."""
+    """Lazy 8-byte big-endian keys over zero-padded data: key8[i] = bytes
+    i..i+7. No materialized O(8n) build — a 1-byte-strided unaligned
+    big-endian uint64 VIEW over the padded buffer, so 8-byte keys are only
+    ever converted at the (much sparser) candidate positions the caller
+    gathers. The only construction cost is the n+7-byte pad copy."""
 
     def __init__(self, data: np.ndarray):
         self.n = n = len(data)
-        d = np.zeros(n + 7, dtype=np.uint64)
-        d[:n] = data
-        key8 = np.zeros(n, dtype=np.uint64)
-        for j in range(8):
-            key8 = (key8 << np.uint64(8)) | d[j:j + n]
-        self._key8 = key8  # key8[i] = bytes i..i+7 big-endian (zero-padded)
+        pad = np.zeros(n + 7, dtype=np.uint8)
+        pad[:n] = data
+        self._pad = pad  # keeps the buffer alive under the strided view
+        base = pad[:8].view(">u8")
+        self._key8 = np.lib.stride_tricks.as_strided(
+            base, shape=(n,), strides=(1,))
 
     def keys(self, L: int) -> np.ndarray:
         """Keys of all n-L+1 L-grams (positions where the gram fits)."""
         m = max(self.n - L + 1, 0)
-        return self._key8[:m] >> np.uint64((8 - L) * 8)
+        return (self._key8[:m].astype(np.uint64)
+                >> np.uint64((8 - L) * 8))
 
 
 def _sym_key(sym: bytes) -> int:
@@ -161,7 +165,9 @@ class SymbolTable:
             pos = np.flatnonzero(cand)
             if len(pos) == 0:
                 continue
-            grams = g[pos] >> np.uint64((8 - L) * 8)
+            # gather-then-convert: only candidate positions pay the
+            # unaligned BE load + byteswap
+            grams = g[pos].astype(np.uint64) >> np.uint64((8 - L) * 8)
             idx = np.searchsorted(keys, grams)
             np.minimum(idx, len(keys) - 1, out=idx)
             hit = keys[idx] == grams
