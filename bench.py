@@ -252,6 +252,15 @@ def main() -> None:
     dec = pipeline.decode_dataframe(stripes, columns=df.columns, schema=df.schema)
     dec.count()
     queries["encode_decode_transcripts"] = time.perf_counter() - t0
+
+    # rich agent-transcript shape: + tool_calls array<struct<call_id,
+    # fn:struct<name, args:map>, at:timestamp>> through the recursive
+    # nested flatten (per-element present / array<array<string>> /
+    # array<timestamp> leaves)
+    _wait_idle()
+    t0 = time.perf_counter()
+    rich_stats = _encode_once(spark, transcripts.enrich(df))
+    queries["encode_rich_transcripts"] = time.perf_counter() - t0
     df.unpersist()
 
     # oracle-suite queries at SF_DIR
@@ -282,6 +291,10 @@ def main() -> None:
             "enc_bytes": enc_stats["enc_bytes"],
             "compression_ratio": round(enc_stats["enc_bytes"] / enc_stats["raw_bytes"], 4),
             "gen_sec": round(gen_sec, 2),
+            "rich_enc_bytes": rich_stats["enc_bytes"],
+            "rich_raw_bytes": rich_stats["raw_bytes"],
+            "rich_compression_ratio": round(
+                rich_stats["enc_bytes"] / rich_stats["raw_bytes"], 4),
         },
     }
     if scaling:

@@ -114,6 +114,36 @@ def generate(spark: SparkSession, n_convs: int, seed: int = 42,
     return df
 
 
+def enrich(df: DataFrame) -> DataFrame:
+    """Rich agent-transcript variant: the flat north-star schema plus an
+    OpenAI-style ``tool_calls array<struct<call_id:string, fn:struct<
+    name:string, args:map<string,string>>, at:timestamp>>`` column, derived
+    deterministically JVM-side from the flat columns (tool turns get one
+    call, every 8th a retry pair; non-tool turns NULL). Exercises the
+    engine's recursive nested flatten — per-element present leaves, the
+    in-element map's array<array<string>> keys/values leaves, and the
+    array<timestamp> leaf — on the exact shape a real agent-transcript
+    pipeline encodes."""
+    def call(suffix: str, args_map):
+        return F.struct(
+            F.concat_ws("-", "conv_id", "turn_idx", F.lit(suffix))
+            .alias("call_id"),
+            F.struct(F.col("tool").alias("name"),
+                     args_map.alias("args")).alias("fn"),
+            F.col("ts").alias("at"))
+
+    args1 = F.create_map(
+        F.lit("q"), F.coalesce(F.substring("text", 1, 24), F.lit("")),
+        F.lit("turn"), F.col("turn_idx").cast("string"))
+    args2 = F.create_map(F.lit("retry"), F.lit("1"))
+    calls = F.when(
+        F.col("tool").isNotNull(),
+        F.when(F.col("turn_idx") % 8 == 0,
+               F.array(call("a", args1), call("b", args2)))
+        .otherwise(F.array(call("a", args1))))
+    return df.withColumn("tool_calls", calls)
+
+
 def expected_pandas(n_convs: int, seed: int = 42) -> pd.DataFrame:
     """Driver-side oracle for tests: the same table, single-threaded."""
     vocab = _vocab(seed)

@@ -325,3 +325,24 @@ def test_array_of_timestamp_and_date_roundtrip(spark):
                 pipeline.decode_dataframe(stripes)):  # schema-free too
         got = {r["id"]: r.asDict(recursive=True) for r in dec.collect()}
         assert got == exp
+
+
+def test_rich_transcripts_roundtrip(spark):
+    """transcripts.enrich — the OpenAI-style tool_calls shape over the real
+    generator (skew, null tools, non-ASCII text) — through the full
+    encode/decode pipeline."""
+    from orc_format_spark import transcripts
+    df = transcripts.enrich(transcripts.generate(spark, 40, seed=7))
+    stripes = pipeline.encode_dataframe(df, "conv_id", "turn_idx",
+                                        stripe_rows=256)
+    dec = pipeline.decode_dataframe(stripes, schema=df.schema)
+
+    def keyed(frame):
+        return {(r["conv_id"], r["turn_idx"]): r.asDict(recursive=True)
+                for r in frame.collect()}
+
+    exp, got = keyed(df), keyed(dec)
+    assert len(got) == len(exp) and got == exp
+    # sanity: the shape was actually exercised (tool rows produced calls)
+    n_calls = sum(len(v["tool_calls"] or []) for v in exp.values())
+    assert n_calls > 0
