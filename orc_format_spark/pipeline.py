@@ -488,7 +488,19 @@ def _schema_from_kinds(by_name: dict[str, str],
             return T.ArrayType(to_spark(kind[5:]))
         raise ValueError(kind)
 
-    cols = columns or sorted(by_name)
+    cols = []
+    for c in (columns or sorted(by_name)):
+        if c in by_name:
+            cols.append(c)
+            continue
+        # a nested column requested by its TOP-LEVEL name ("tc") expands to
+        # its persisted leaves ("tc·__elems__", "tc·fn·name", ...) so column
+        # pruning composes with the flattened layout
+        pre = c + _STRUCT_SEP
+        leaves = [n for n in sorted(by_name) if n.startswith(pre)]
+        if not leaves:
+            raise KeyError(f"column {c!r} not in persisted kinds")
+        cols.extend(leaves)
     fields = [T.StructField(c, to_spark(by_name[c])) for c in cols]
     return T.StructType(fields), cols
 
@@ -516,7 +528,9 @@ def infer_schema_from_manifest(spark: SparkSession, out_dir: str,
             if row is not None and row["kinds"]:
                 by_name = {}
                 for pair in row["kinds"].split(","):
-                    name, kind = pair.rsplit(":", 1)
+                    # FIRST colon: recursive kinds ("list:array_int64")
+                    # contain colons themselves; column names never do
+                    name, kind = pair.split(":", 1)
                     by_name[name] = kind
                 return _schema_from_kinds(by_name, columns)
     except Exception:
@@ -674,7 +688,12 @@ def decode_job_clustered(spark: SparkSession, out_dir: str,
                         f"owned stripes {sorted(missing)[:3]}... vanished "
                         f"from {p} between planning and decode")
 
-    return file_keep.mapInArrow(decode_files, schema)
+    out = file_keep.mapInArrow(decode_files, schema)
+    if any(_STRUCT_SEP in c for c in columns):
+        # nested leaves persisted flat: re-nest from the leaf names (same
+        # contract as decode_dataframe's schema-free path)
+        out = _reassemble_structs(out, _nest_schema(schema))
+    return out
 
 
 def build_manifest(stripes: DataFrame, key_col: str | None = None,

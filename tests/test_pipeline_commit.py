@@ -178,3 +178,40 @@ def test_infer_schema_from_manifest_single_row(spark, df, tmp_path):
     ref_schema, ref_cols = pipeline.infer_schema(pipeline.read_stripes(spark, out))
     assert cols == ref_cols
     assert schema == ref_schema
+
+
+def test_clustered_decode_renests_persisted_nested_table(spark, df, tmp_path):
+    """A persisted NESTED table (rich transcripts tool_calls) decodes
+    through the shuffle-free clustered path with the nested column
+    re-nested — and a top-level nested name prunes to its leaves."""
+    out = str(tmp_path / "rich")
+    rich = transcripts.enrich(df)
+    stripes = pipeline.encode_dataframe(rich, "conv_id", "turn_idx",
+                                        stripe_rows=300, n_buckets=6)
+    pipeline.commit(spark, stripes, out, "conv_id", "turn_idx", run_id="n1")
+
+    dec = pipeline.decode_job_clustered(spark, out)
+    # schema-free re-nest: struct fields come back in sorted-leaf order;
+    # the SHAPE must be array<struct<...>> with all three fields
+    dt = dec.schema["tool_calls"].dataType.simpleString()
+    assert dt.startswith("array<struct<")
+    for frag in ("call_id:string", "at:timestamp",
+                 "fn:struct<args:map<string,string>,name:string>"):
+        assert frag in dt, dt
+
+    def keyed(frame):
+        return {(r["conv_id"], r["turn_idx"]): r.asDict(recursive=True)
+                for r in frame.collect()}
+
+    exp = keyed(rich)
+    got = keyed(dec.select(rich.columns))
+    assert got == exp
+
+    # column pruning by the nested TOP-LEVEL name
+    pruned = pipeline.decode_job_clustered(
+        spark, out, columns=["conv_id", "turn_idx", "tool_calls"])
+    assert set(pruned.columns) == {"conv_id", "turn_idx", "tool_calls"}
+    got_p = {(r["conv_id"], r["turn_idx"]):
+             r.asDict(recursive=True)["tool_calls"]
+             for r in pruned.collect()}
+    assert got_p == {k: v["tool_calls"] for k, v in exp.items()}
