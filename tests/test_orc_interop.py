@@ -364,3 +364,37 @@ def test_snappy_and_lz4_orc_files_decode(tmp_path, comp):
     for c in tbl.column_names:
         assert got.column(c).combine_chunks().equals(
             tbl.column(c).combine_chunks()), (comp, c)
+
+
+def test_rich_tool_calls_shape_through_orc(tmp_path):
+    """The transcripts tool_calls shape (list -> struct -> struct -> map,
+    plus timestamp fields, nulls at every level) through the real-ORC
+    writer/reader — and the Apache C++ reader consumes our file with equal
+    values."""
+    import pyarrow as pa
+    from orc_format_spark import orc_reader, orc_writer
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "b", "c"]),
+        "tool_calls": pa.array(
+            [[{"call_id": "a-0",
+               "fn": {"name": "bash", "args": [("q", "x"), ("turn", "0")]},
+               "at": 1700000000000000}],
+             None,
+             [{"call_id": "c-1", "fn": {"name": "grep", "args": []},
+               "at": None},
+              {"call_id": "c-2", "fn": None, "at": 1700000001000000}]],
+            type=pa.list_(pa.struct([
+                ("call_id", pa.string()),
+                ("fn", pa.struct([
+                    ("name", pa.string()),
+                    ("args", pa.map_(pa.string(), pa.string()))])),
+                ("at", pa.timestamp("us"))]))),
+    })
+    path = str(tmp_path / "rich.orc")
+    orc_writer.write_orc(t, path)
+    back = orc_reader.read_orc(path)
+    assert back.cast(t.schema).to_pylist() == t.to_pylist()
+    pao = pytest.importorskip("pyarrow.orc")
+    apache = pao.read_table(path)
+    assert apache.cast(t.schema).to_pylist() == t.to_pylist()
