@@ -103,88 +103,97 @@ def _fn_getter(get, fn):
     return lambda x: fn(get(x))
 
 
+def _transform_getter(get, inner):
+    """x -> transform(get(x), inner): wraps an element-level getter one
+    array level up (parallel leaf arrays, the ORC list-of-struct model)."""
+    return lambda x: F.transform(get(x), inner)
+
+
+def _ident(x):
+    return x
+
+
+def _nonnull(x):
+    return x.isNotNull()
+
+
 def _require_no_struct_below(rel: str, dtype) -> None:
-    """Arrays inside a list element are fine (the recursive ``list:`` kind
-    encodes array<array<...>> leaves at any depth) — but a struct or map
-    BELOW such an array has no parallel-leaf flattening and raises."""
+    """Array CHAINS are fine at any depth (the recursive ``list:`` kind) —
+    but a struct or map under two consecutive array levels has no
+    parallel-leaf flattening and raises."""
     et = dtype.elementType
     if isinstance(et, (T.StructType, T.MapType)):
         raise ValueError(
-            f"array<struct> leaf {rel!r}: struct/map nested below an array "
+            f"nested leaf {rel!r}: struct/map nested below an array "
             "inside a list element is not supported")
     if isinstance(et, T.ArrayType):
         _require_no_struct_below(rel, et)
 
 
-def _elem_getters(rel: str, get, dtype) -> list:
-    """(relative leaf name, element->scalar fn) pairs for one field of an
-    array<struct> element. Structs nest to any depth, each level adding a
-    per-element ``__present__`` array<boolean> leaf (null elements yield
-    False there via null.getField().isNotNull() — masked on rebuild by the
-    outer element-present leaf, so the distinction never surfaces).
-    Arrays/maps INSIDE an element would need a second Length-stream nesting
-    level and raise loudly."""
+def _leaf_exprs(rel: str, get, dtype) -> list:
+    """(leaf name, Column->Column getter) pairs for a value of ``dtype``
+    reached by ``get`` — UNIFORM recursion over struct / map /
+    array<struct> / array<map> at ANY nesting depth:
+
+    - struct: one hidden ``__present__`` boolean leaf per level (ORC gives
+      struct columns exactly one stream — Present) + one leaf per field.
+    - map: parallel keys/values list leaves (ORC's map layout), recursing
+      so map<k, struct<...>> rides the array<struct> machinery.
+    - array<struct>: an element-present ``__elems__`` leaf + one parallel
+      leaf ARRAY per element leaf, each getter wrapped in F.transform —
+      composition makes array<struct<v: array<struct<...>>>> work at any
+      depth (leaves come out as array<array<...>> — recursive list: kinds).
+    - array<map>: an ``__elems__`` marker leaf (disambiguates the
+      schema-free re-nest from a plain map) + per-element keys/values
+      leaves.
+    Only a struct/map under two CONSECUTIVE array levels raises."""
     if isinstance(dtype, T.StructType):
         out = [(f"{rel}{_STRUCT_SEP}__present__", _present_getter(get))]
         for sub in dtype.fields:
-            out.extend(_elem_getters(f"{rel}{_STRUCT_SEP}{sub.name}",
-                                     _compose_getter(get, sub.name),
-                                     sub.dataType))
+            out.extend(_leaf_exprs(f"{rel}{_STRUCT_SEP}{sub.name}",
+                                   _compose_getter(get, sub.name),
+                                   sub.dataType))
         return out
     if isinstance(dtype, T.MapType):
-        # map inside a list element: per-element keys/values array leaves
-        # (the flattened leaf is array<array<...>> — a recursive list: kind)
-        return (_elem_getters(f"{rel}{_STRUCT_SEP}{_MAP_KEYS}",
-                              _fn_getter(get, F.map_keys),
-                              T.ArrayType(dtype.keyType, False))
-                + _elem_getters(f"{rel}{_STRUCT_SEP}{_MAP_VALS}",
-                                _fn_getter(get, F.map_values),
-                                T.ArrayType(dtype.valueType,
-                                            dtype.valueContainsNull)))
+        return (_leaf_exprs(f"{rel}{_STRUCT_SEP}{_MAP_KEYS}",
+                            _fn_getter(get, F.map_keys),
+                            T.ArrayType(dtype.keyType, False))
+                + _leaf_exprs(f"{rel}{_STRUCT_SEP}{_MAP_VALS}",
+                              _fn_getter(get, F.map_values),
+                              T.ArrayType(dtype.valueType,
+                                          dtype.valueContainsNull)))
     if isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        if isinstance(et, T.StructType):
+            out = [(f"{rel}{_STRUCT_SEP}{_ELEMS}",
+                    _transform_getter(get, _nonnull))]
+            for sub in et.fields:
+                for nm, fn in _leaf_exprs(f"{rel}{_STRUCT_SEP}{sub.name}",
+                                          _compose_getter(_ident, sub.name),
+                                          sub.dataType):
+                    out.append((nm, _transform_getter(get, fn)))
+            return out
+        if isinstance(et, T.MapType):
+            out = [(f"{rel}{_STRUCT_SEP}{_ELEMS}",
+                    _transform_getter(get, _nonnull))]
+            out.extend(_leaf_exprs(
+                f"{rel}{_STRUCT_SEP}{_MAP_KEYS}",
+                _transform_getter(get, F.map_keys),
+                T.ArrayType(T.ArrayType(et.keyType, False))))
+            out.extend(_leaf_exprs(
+                f"{rel}{_STRUCT_SEP}{_MAP_VALS}",
+                _transform_getter(get, F.map_values),
+                T.ArrayType(T.ArrayType(et.valueType,
+                                        et.valueContainsNull))))
+            return out
         _require_no_struct_below(rel, dtype)
     return [(rel, get)]
 
 
 def _flatten_exprs(prefix: str, col, dtype) -> list:
-    """(name, Column) leaf pairs for one field, recursively: structs at ANY
-    depth become ``a·b·c`` leaves, each struct level contributing its own
-    hidden ``__present__`` boolean leaf (ORC gives struct columns exactly
-    one stream — Present); maps become parallel keys/values list leaves,
-    each recursing (so map<k, struct<...>> rides the array<struct>
-    machinery); array<struct> becomes one parallel leaf ARRAY per element
-    leaf plus an element-present array<boolean> leaf."""
-    if isinstance(dtype, T.StructType):
-        out = [(f"{prefix}{_STRUCT_SEP}__present__", col.isNotNull())]
-        for sub in dtype.fields:
-            out.extend(_flatten_exprs(f"{prefix}{_STRUCT_SEP}{sub.name}",
-                                      col.getField(sub.name), sub.dataType))
-        return out
-    if isinstance(dtype, T.MapType):
-        return (_flatten_exprs(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
-                               F.map_keys(col),
-                               T.ArrayType(dtype.keyType, False))
-                + _flatten_exprs(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
-                                 F.map_values(col),
-                                 T.ArrayType(dtype.valueType,
-                                             dtype.valueContainsNull)))
-    if (isinstance(dtype, T.ArrayType)
-            and isinstance(dtype.elementType, T.StructType)):
-        # array<struct>: one parallel leaf ARRAY per element leaf (the ORC
-        # list-of-struct model: the list's child struct owns no data, its
-        # fields do) + an element-present array<boolean> leaf (struct-level
-        # element nulls; field-level nulls ride each leaf's own child
-        # Present stream)
-        out = [(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
-                F.transform(col, lambda x: x.isNotNull()))]
-        for sub in dtype.elementType.fields:
-            for rel, get in _elem_getters(
-                    sub.name, _compose_getter(lambda x: x, sub.name),
-                    sub.dataType):
-                out.append((f"{prefix}{_STRUCT_SEP}{rel}",
-                            F.transform(col, get)))
-        return out
-    return [(prefix, col)]
+    """(name, Column) leaf pairs for one top-level field."""
+    return [(name, fn(col)) for name, fn in _leaf_exprs(prefix, _ident,
+                                                        dtype)]
 
 
 def _flatten_struct_cols(df: DataFrame) -> DataFrame:
@@ -198,7 +207,8 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     def needs_flatten(dt) -> bool:
         return (isinstance(dt, (T.StructType, T.MapType))
                 or (isinstance(dt, T.ArrayType)
-                    and isinstance(dt.elementType, T.StructType)))
+                    and isinstance(dt.elementType,
+                                   (T.StructType, T.MapType))))
 
     if not any(needs_flatten(f.dataType) for f in df.schema.fields):
         return df
@@ -209,51 +219,54 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     return df.select(cols)
 
 
-def _elem_flat_fields(prefix: str, dtype) -> list[T.StructField]:
-    """flat-leaf StructFields for one array<struct> element field: every
-    leaf is the element leaf's type wrapped in ArrayType (the parallel
-    leaf-array model), struct levels adding an array<boolean> present."""
+def _leaf_fields(prefix: str, dtype, wrap: int = 0) -> list[T.StructField]:
+    """Flat-leaf StructFields mirroring :func:`_leaf_exprs`: ``wrap`` is
+    the number of enclosing array levels — every leaf type comes out
+    wrapped in that many ArrayTypes (the parallel leaf-array model)."""
+    def W(t):
+        for _ in range(wrap):
+            t = T.ArrayType(t)
+        return t
+
     if isinstance(dtype, T.StructType):
         out = [T.StructField(f"{prefix}{_STRUCT_SEP}__present__",
-                             T.ArrayType(T.BooleanType()))]
+                             W(T.BooleanType()))]
         for sub in dtype.fields:
-            out.extend(_elem_flat_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
-                                         sub.dataType))
+            out.extend(_leaf_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                                    sub.dataType, wrap))
         return out
     if isinstance(dtype, T.MapType):
-        return (_elem_flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
-                                  T.ArrayType(dtype.keyType, False))
-                + _elem_flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
-                                    T.ArrayType(dtype.valueType,
-                                                dtype.valueContainsNull)))
+        return (_leaf_fields(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
+                             T.ArrayType(dtype.keyType, False), wrap)
+                + _leaf_fields(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
+                               T.ArrayType(dtype.valueType,
+                                           dtype.valueContainsNull), wrap))
     if isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        if isinstance(et, T.StructType):
+            out = [T.StructField(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
+                                 W(T.ArrayType(T.BooleanType())))]
+            for sub in et.fields:
+                out.extend(_leaf_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
+                                        sub.dataType, wrap + 1))
+            return out
+        if isinstance(et, T.MapType):
+            out = [T.StructField(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
+                                 W(T.ArrayType(T.BooleanType())))]
+            out.extend(_leaf_fields(
+                f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
+                T.ArrayType(T.ArrayType(et.keyType, False)), wrap))
+            out.extend(_leaf_fields(
+                f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
+                T.ArrayType(T.ArrayType(et.valueType,
+                                        et.valueContainsNull)), wrap))
+            return out
         _require_no_struct_below(prefix, dtype)
-    return [T.StructField(prefix, T.ArrayType(dtype))]
+    return [T.StructField(prefix, W(dtype))]
 
 
 def _flat_fields(prefix: str, dtype) -> list[T.StructField]:
-    if isinstance(dtype, T.StructType):
-        out = [T.StructField(f"{prefix}{_STRUCT_SEP}__present__",
-                             T.BooleanType())]
-        for sub in dtype.fields:
-            out.extend(_flat_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
-                                    sub.dataType))
-        return out
-    if isinstance(dtype, T.MapType):
-        return (_flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
-                             T.ArrayType(dtype.keyType, False))
-                + _flat_fields(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
-                               T.ArrayType(dtype.valueType,
-                                           dtype.valueContainsNull)))
-    if (isinstance(dtype, T.ArrayType)
-            and isinstance(dtype.elementType, T.StructType)):
-        out = [T.StructField(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
-                             T.ArrayType(T.BooleanType()))]
-        for sub in dtype.elementType.fields:
-            out.extend(_elem_flat_fields(f"{prefix}{_STRUCT_SEP}{sub.name}",
-                                         sub.dataType))
-        return out
-    return [T.StructField(prefix, dtype)]
+    return _leaf_fields(prefix, dtype, 0)
 
 
 def _flat_schema(schema: T.StructType) -> T.StructType:
@@ -268,20 +281,27 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
     (used when decoding a persisted nested encode without a caller schema).
     Field order inside each struct follows the flat column order."""
     def build(items: list[tuple[list[str], T.DataType]],
-              elem: bool = False) -> T.DataType:
+              depth: int = 0) -> T.DataType:
         # items: (remaining name segments, leaf type), order-preserving;
-        # elem=True means we are inside an array<struct> element, where
-        # every leaf type is ArrayType-wrapped (unwrap at the leaf)
+        # depth = number of enclosing array levels — every leaf type is
+        # wrapped in that many ArrayTypes (unwrap at the leaf). An
+        # ``__elems__`` head marks one more array level (array<struct> or
+        # array<map>).
         if len(items) == 1 and not items[0][0]:
-            t = items[0][1]
-            return t.elementType if elem else t  # plain leaf
+            t = items[0][1]  # plain leaf
+            for _ in range(depth):
+                t = t.elementType
+            return t
         heads = [seg[0] for seg, _ in items]
+        has_elems = _ELEMS in heads
+        d = depth + (1 if has_elems else 0)
         if _MAP_KEYS in heads:
             ks = [(seg[1:], t) for seg, t in items if seg[0] == _MAP_KEYS]
             vs = [(seg[1:], t) for seg, t in items if seg[0] == _MAP_VALS]
-            return T.MapType(build(ks, elem).elementType,
-                             build(vs, elem).elementType)
-        # struct (or array<struct> when an element-present leaf is here):
+            mt = T.MapType(build(ks, d).elementType,
+                           build(vs, d).elementType)
+            return T.ArrayType(mt) if has_elems else mt
+        # struct (array<struct> when an element-present leaf is here):
         # group children by head segment, skipping the present leaves
         order, groups = [], {}
         for seg, t in items:
@@ -292,10 +312,9 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
                 order.append(h)
                 groups[h] = []
             groups[h].append((seg[1:], t))
-        in_elem = elem or _ELEMS in heads
-        st = T.StructType([T.StructField(h, build(groups[h], in_elem))
+        st = T.StructType([T.StructField(h, build(groups[h], d))
                            for h in order])
-        return T.ArrayType(st) if _ELEMS in heads else st
+        return T.ArrayType(st) if has_elems else st
 
     order, groups = [], {}
     for f in flat.fields:
@@ -308,46 +327,55 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
     return T.StructType([T.StructField(h, build(groups[h])) for h in order])
 
 
-def _rebuild_expr(prefix: str, dtype):
+def _mk_value(acc, rel: str, dtype):
+    """Rebuild the value of ``dtype`` at leaf-path ``rel`` from flat leaf
+    columns, via ``acc``: leaf name -> Column AT THE CURRENT NESTING LEVEL
+    (F.col at the top; the arrays_zip element inside each transform).
+    Exact inverse of :func:`_leaf_exprs`, same uniform recursion."""
     if isinstance(dtype, T.StructType):
-        parts = [_rebuild_expr(f"{prefix}{_STRUCT_SEP}{sub.name}",
-                               sub.dataType).alias(sub.name)
-                 for sub in dtype.fields]
-        present = F.col(f"`{prefix}{_STRUCT_SEP}__present__`")
-        return F.when(present, F.struct(*parts))
+        parts = [_mk_value(acc, f"{rel}{_STRUCT_SEP}{s.name}", s.dataType)
+                 .alias(s.name) for s in dtype.fields]
+        return F.when(acc(f"{rel}{_STRUCT_SEP}__present__"),
+                      F.struct(*parts))
     if isinstance(dtype, T.MapType):
         return F.map_from_arrays(
-            _rebuild_expr(f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
-                          T.ArrayType(dtype.keyType, False)),
-            _rebuild_expr(f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
-                          T.ArrayType(dtype.valueType,
-                                      dtype.valueContainsNull)))
-    if (isinstance(dtype, T.ArrayType)
-            and isinstance(dtype.elementType, T.StructType)):
-        elem = dtype.elementType
-        rels = [f.name for sub in elem.fields
-                for f in _elem_flat_fields(sub.name, sub.dataType)]
-        zipped = F.arrays_zip(
-            F.col(f"`{prefix}{_STRUCT_SEP}{_ELEMS}`").alias(_ELEMS),
-            *[F.col(f"`{prefix}{_STRUCT_SEP}{rel}`").alias(rel)
-              for rel in rels])
+            _mk_value(acc, f"{rel}{_STRUCT_SEP}{_MAP_KEYS}",
+                      T.ArrayType(dtype.keyType, False)),
+            _mk_value(acc, f"{rel}{_STRUCT_SEP}{_MAP_VALS}",
+                      T.ArrayType(dtype.valueType,
+                                  dtype.valueContainsNull)))
+    if isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        elems_name = f"{rel}{_STRUCT_SEP}{_ELEMS}"
+        if isinstance(et, T.StructType):
+            names = [f.name for sub in et.fields
+                     for f in _leaf_fields(f"{rel}{_STRUCT_SEP}{sub.name}",
+                                           sub.dataType, 0)]
+            zipped = F.arrays_zip(
+                acc(elems_name).alias(elems_name),
+                *[acc(nm).alias(nm) for nm in names])
 
-        def mk(e, rel: str, dt):
-            if isinstance(dt, T.StructType):
-                parts = [mk(e, f"{rel}{_STRUCT_SEP}{s.name}", s.dataType)
-                         .alias(s.name) for s in dt.fields]
-                return F.when(e[f"{rel}{_STRUCT_SEP}__present__"],
-                              F.struct(*parts))
-            if isinstance(dt, T.MapType):
-                return F.map_from_arrays(
-                    e[f"{rel}{_STRUCT_SEP}{_MAP_KEYS}"],
-                    e[f"{rel}{_STRUCT_SEP}{_MAP_VALS}"])
-            return e[rel]
+            def rebuild_elem(e):
+                parts = [_mk_value(lambda nm: e[nm],
+                                   f"{rel}{_STRUCT_SEP}{s.name}", s.dataType)
+                         .alias(s.name) for s in et.fields]
+                return F.when(e[elems_name], F.struct(*parts))
 
-        return F.transform(zipped, lambda e: F.when(e[_ELEMS], F.struct(
-            *[mk(e, s.name, s.dataType).alias(s.name)
-              for s in elem.fields])))
-    return F.col(f"`{prefix}`")
+            return F.transform(zipped, rebuild_elem)
+        if isinstance(et, T.MapType):
+            kname = f"{rel}{_STRUCT_SEP}{_MAP_KEYS}"
+            vname = f"{rel}{_STRUCT_SEP}{_MAP_VALS}"
+            zipped = F.arrays_zip(acc(elems_name).alias(elems_name),
+                                  acc(kname).alias(kname),
+                                  acc(vname).alias(vname))
+            return F.transform(
+                zipped, lambda e: F.when(
+                    e[elems_name], F.map_from_arrays(e[kname], e[vname])))
+    return acc(rel)
+
+
+def _rebuild_expr(prefix: str, dtype):
+    return _mk_value(lambda nm: F.col(f"`{nm}`"), prefix, dtype)
 
 
 def _reassemble_structs(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -557,7 +585,8 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     if schema is not None and any(
             isinstance(f.dataType, (T.StructType, T.MapType))
             or (isinstance(f.dataType, T.ArrayType)
-                and isinstance(f.dataType.elementType, T.StructType))
+                and isinstance(f.dataType.elementType,
+                               (T.StructType, T.MapType)))
             for f in schema.fields):
         nested_schema = schema
         schema = _flat_schema(schema)

@@ -47,22 +47,26 @@ def _gen_type(r: random.Random, depth: int, ctx: str) -> str:
                            for i in range(n))
         return f"struct<{fields}>"
     if roll < 0.75:
-        if ctx == "free":
-            # map value: scalar | struct(elem fields) | scalar chain
-            v = (_gen_type(r, depth - 1, "elem")
-                 if r.random() < 0.5 else _scalar_chain(r, 1))
+        # map value: scalar | struct/array-of-struct (elem ctx) | chain;
+        # map-of-map is fine when the inner values are scalar chains
+        if r.random() < 0.5:
+            v = _gen_type(r, depth - 1, "elem")
             if v.startswith("map<"):
-                v = "bigint"
+                v = f"map<string, {_scalar_chain(r, 1)}>"
         else:
             v = _scalar_chain(r, 1)
         return f"map<string, {v}>"
-    # array: in elem ctx only scalar chains are allowed below an array
-    if ctx == "free" and r.random() < 0.6:
-        # array<struct<elem fields>>
+    # array: struct elements compose at ANY depth via transform-wrapped
+    # leaves; map elements get per-element keys/values leaves; only
+    # struct/map under two CONSECUTIVE array levels is unsupported
+    sub = r.random()
+    if sub < 0.5:
         n = r.randint(1, 3)
         fields = ", ".join(f"g{i}: {_gen_type(r, depth - 1, 'elem')}"
                            for i in range(n))
         return f"array<struct<{fields}>>"
+    if sub < 0.7:
+        return f"array<map<string, {_scalar_chain(r, 1)}>>"
     return f"array<{_scalar_chain(r, 2)}>"
 
 
@@ -125,7 +129,7 @@ def _split_fields(s: str) -> list[str]:
     return parts
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 73])
+@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 73, 89, 97])
 def test_random_nested_schema_roundtrip(spark, seed):  # noqa: F811
     r = random.Random(seed)
     n_cols = r.randint(1, 3)

@@ -290,13 +290,62 @@ def test_map_inside_array_element_roundtrip(spark):
         assert got == exp
 
 
-def test_struct_below_array_inside_element_raises(spark):
-    """struct/map BELOW an array inside a list element has no parallel-leaf
-    flattening — stays a loud error, not a silent mis-encode."""
+def test_array_of_struct_inside_array_element_roundtrip(spark):
+    """array<struct<v: array<struct<...>>>> — nested tool-RESULT lists —
+    flattens by transform composition (leaves are array<array<...>>
+    recursive list: kinds); nulls at every level survive."""
+    schema = ("id long, a array<struct<tag: string, "
+              "v: array<struct<x: bigint, s: string>>>>")
+    rows = [
+        (1, [{"tag": "t1", "v": [{"x": 1, "s": "a"},
+                                 {"x": None, "s": None}]},
+             {"tag": None, "v": []},
+             {"tag": "t3", "v": None},
+             None]),
+        (2, []),
+        (3, None),
+        (4, [{"tag": "t4", "v": [None, {"x": 9, "s": "z"}]}]),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True)["a"] for r in df.collect()}
+    for dec in (pipeline.decode_dataframe(stripes, schema=df.schema),
+                pipeline.decode_dataframe(stripes)):  # schema-free too
+        got = {r["id"]: r.asDict(recursive=True)["a"] for r in dec.collect()}
+        assert got == exp
+
+
+def test_array_of_map_roundtrip(spark):
+    """array<map<string,bigint>> — per-element keys/values leaves plus the
+    __elems__ marker (disambiguates from a plain map on schema-free
+    re-nest); also nested INSIDE an array<struct> element."""
+    schema = ("id long, am array<map<string, bigint>>, "
+              "tc array<struct<name: string, ms: array<map<string, "
+              "string>>>>")
+    rows = [
+        (1, [{"k": 1}, {}, None], [{"name": "n", "ms": [{"a": "b"}, {}]}]),
+        (2, [], [{"name": None, "ms": None}, None]),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    for dec in (pipeline.decode_dataframe(stripes, schema=df.schema),
+                pipeline.decode_dataframe(stripes)):
+        got = {r["id"]: r.asDict(recursive=True) for r in dec.collect()}
+        assert got == exp
+
+
+def test_struct_below_consecutive_arrays_raises(spark):
+    """struct/map under two CONSECUTIVE array levels stays a loud error,
+    not a silent mis-encode."""
     df = spark.createDataFrame(
-        [(1, [{"v": [{"x": 1}]}])],
-        schema="id long, a array<struct<v: array<struct<x: bigint>>>>")
-    with pytest.raises(Exception, match="struct/map nested below an array"):
+        [(1, [[{"x": 1}]])],
+        schema="id long, a array<array<struct<x: bigint>>>")
+    with pytest.raises(Exception, match=("struct/map nested below an array"
+                                         "|unsupported column type")):
         pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
                                   stripe_rows=10).collect()
 
