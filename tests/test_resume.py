@@ -80,3 +80,31 @@ def test_deterministic_stripe_bytes_across_reruns(spark, df, tmp_path):
     joined = h1.join(h2, ["stripe_id", "col_name"])
     assert joined.filter(F.col("h") != F.col("h2")).count() == 0
     assert joined.count() == s1.count()
+
+
+def test_resume_nested_table_idempotent(spark, df, tmp_path):
+    """Partial-failure resume over a NESTED table (rich tool_calls): the
+    lineage anti-join and deterministic stripe bytes are schema-agnostic —
+    resume encodes only the missing stripes and decode re-nests."""
+    out = str(tmp_path / "rich")
+    rich = transcripts.enrich(df)
+    n_buckets = 8
+    stripes = pipeline.encode_dataframe(rich, "conv_id", "turn_idx",
+                                        stripe_rows=200, n_buckets=n_buckets)
+    partial = stripes.filter(F.col("bucket") % 2 == 0)
+    pipeline.commit(spark, partial, out, "conv_id", "turn_idx",
+                    run_id="run-partial")
+
+    stats = pipeline.encode_job(spark, rich, out, stripe_rows=200,
+                                n_buckets=n_buckets)
+    assert stats["resumed"] is True
+    lineage = spark.read.parquet(f"{out}/lineage")
+    per_stripe = lineage.groupBy("stripe_id").count().collect()
+    assert all(r["count"] == 1 for r in per_stripe)
+
+    dec = pipeline.decode_job(spark, out)
+    keyed_exp = {(r["conv_id"], r["turn_idx"]): r.asDict(recursive=True)
+                 for r in rich.collect()}
+    keyed_got = {(r["conv_id"], r["turn_idx"]): r.asDict(recursive=True)
+                 for r in dec.select(rich.columns).collect()}
+    assert keyed_got == keyed_exp

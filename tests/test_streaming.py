@@ -66,3 +66,33 @@ def test_stateful_conversation_rollup(spark, tmp_path):
     assert got["n_tool_calls"].tolist() == exp["n_tool_calls"].tolist()
     assert (got["last_ts"].astype("datetime64[us]").tolist()
             == exp["last_ts"].astype("datetime64[us]").tolist())
+
+
+def test_stream_encode_nested_table(spark, tmp_path):
+    """Streaming encode of a NESTED table (rich tool_calls): the
+    foreachBatch encode flattens per micro-batch; decode re-nests and
+    matches the batch input."""
+    src = str(tmp_path / "rsrc")
+    out = str(tmp_path / "renc")
+    ckpt = str(tmp_path / "rckpt")
+
+    rich = transcripts.enrich(transcripts.generate(spark, n_convs=40, seed=5))
+    rich.repartition(4).write.parquet(src)
+    saved = spark.read.parquet(src)  # the exact rows the stream will see
+
+    stream = (spark.readStream.schema(saved.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = streaming.encode_stream(stream, out, ckpt, stripe_rows=500,
+                                n_buckets=6)
+    q.awaitTermination(300)
+
+    lineage = spark.read.parquet(f"{out}/lineage")
+    per_stripe = lineage.groupBy("stripe_id").count().collect()
+    assert all(r["count"] == 1 for r in per_stripe)
+
+    dec = pipeline.decode_job(spark, out)
+    keyed_exp = {(r["conv_id"], r["turn_idx"]): r.asDict(recursive=True)
+                 for r in saved.collect()}
+    keyed_got = {(r["conv_id"], r["turn_idx"]): r.asDict(recursive=True)
+                 for r in dec.select(saved.columns).collect()}
+    assert keyed_got == keyed_exp
