@@ -86,6 +86,8 @@ _STRUCT_SEP = "\u00b7"
 _MAP_KEYS = "__map_keys__"
 _MAP_VALS = "__map_vals__"
 _ELEMS = "__elems__"  # per-element present leaf of an array<struct> column
+_ITEM = "__item__"    # anonymous segment for an array level directly
+                      # inside another array (array<array<struct>> etc.)
 
 
 def _compose_getter(get, name: str):
@@ -117,17 +119,15 @@ def _nonnull(x):
     return x.isNotNull()
 
 
-def _require_no_struct_below(rel: str, dtype) -> None:
-    """Array CHAINS are fine at any depth (the recursive ``list:`` kind) —
-    but a struct or map under two consecutive array levels has no
-    parallel-leaf flattening and raises."""
-    et = dtype.elementType
-    if isinstance(et, (T.StructType, T.MapType)):
-        raise ValueError(
-            f"nested leaf {rel!r}: struct/map nested below an array "
-            "inside a list element is not supported")
-    if isinstance(et, T.ArrayType):
-        _require_no_struct_below(rel, et)
+def _needs_decompose(dtype) -> bool:
+    """True when an array's ELEMENT type contains a struct/map anywhere —
+    such arrays flatten to parallel leaves; pure scalar chains stay one
+    leaf (recursive ``list:`` kinds, cheaper)."""
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _needs_decompose(dtype.elementType)
+    return False
 
 
 def _leaf_exprs(rel: str, get, dtype) -> list:
@@ -174,19 +174,30 @@ def _leaf_exprs(rel: str, get, dtype) -> list:
                     out.append((nm, _transform_getter(get, fn)))
             return out
         if isinstance(et, T.MapType):
+            # element-context recursion (same shape as array<struct>): the
+            # per-element keys/values arrays are fields of the ELEMENT,
+            # each leaf wrapped once more by the enclosing transform
             out = [(f"{rel}{_STRUCT_SEP}{_ELEMS}",
                     _transform_getter(get, _nonnull))]
-            out.extend(_leaf_exprs(
-                f"{rel}{_STRUCT_SEP}{_MAP_KEYS}",
-                _transform_getter(get, F.map_keys),
-                T.ArrayType(T.ArrayType(et.keyType, False))))
-            out.extend(_leaf_exprs(
-                f"{rel}{_STRUCT_SEP}{_MAP_VALS}",
-                _transform_getter(get, F.map_values),
-                T.ArrayType(T.ArrayType(et.valueType,
-                                        et.valueContainsNull))))
+            for nm, fn in (_leaf_exprs(f"{rel}{_STRUCT_SEP}{_MAP_KEYS}",
+                                       _fn_getter(_ident, F.map_keys),
+                                       T.ArrayType(et.keyType, False))
+                           + _leaf_exprs(f"{rel}{_STRUCT_SEP}{_MAP_VALS}",
+                                         _fn_getter(_ident, F.map_values),
+                                         T.ArrayType(et.valueType,
+                                                     et.valueContainsNull))):
+                out.append((nm, _transform_getter(get, fn)))
             return out
-        _require_no_struct_below(rel, dtype)
+        if isinstance(et, T.ArrayType) and _needs_decompose(et):
+            # array directly inside an array, with structs/maps below:
+            # an anonymous __item__ segment names the inner level, the
+            # __elems__ leaf preserves null inner arrays
+            out = [(f"{rel}{_STRUCT_SEP}{_ELEMS}",
+                    _transform_getter(get, _nonnull))]
+            for nm, fn in _leaf_exprs(f"{rel}{_STRUCT_SEP}{_ITEM}",
+                                      _ident, et):
+                out.append((nm, _transform_getter(get, fn)))
+            return out
     return [(rel, get)]
 
 
@@ -206,9 +217,7 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     reassembles from the schema."""
     def needs_flatten(dt) -> bool:
         return (isinstance(dt, (T.StructType, T.MapType))
-                or (isinstance(dt, T.ArrayType)
-                    and isinstance(dt.elementType,
-                                   (T.StructType, T.MapType))))
+                or (isinstance(dt, T.ArrayType) and _needs_decompose(dt)))
 
     if not any(needs_flatten(f.dataType) for f in df.schema.fields):
         return df
@@ -255,13 +264,18 @@ def _leaf_fields(prefix: str, dtype, wrap: int = 0) -> list[T.StructField]:
                                  W(T.ArrayType(T.BooleanType())))]
             out.extend(_leaf_fields(
                 f"{prefix}{_STRUCT_SEP}{_MAP_KEYS}",
-                T.ArrayType(T.ArrayType(et.keyType, False)), wrap))
+                T.ArrayType(et.keyType, False), wrap + 1))
             out.extend(_leaf_fields(
                 f"{prefix}{_STRUCT_SEP}{_MAP_VALS}",
-                T.ArrayType(T.ArrayType(et.valueType,
-                                        et.valueContainsNull)), wrap))
+                T.ArrayType(et.valueType,
+                            et.valueContainsNull), wrap + 1))
             return out
-        _require_no_struct_below(prefix, dtype)
+        if isinstance(et, T.ArrayType) and _needs_decompose(et):
+            out = [T.StructField(f"{prefix}{_STRUCT_SEP}{_ELEMS}",
+                                 W(T.ArrayType(T.BooleanType())))]
+            out.extend(_leaf_fields(f"{prefix}{_STRUCT_SEP}{_ITEM}",
+                                    et, wrap + 1))
+            return out
     return [T.StructField(prefix, W(dtype))]
 
 
@@ -312,6 +326,10 @@ def _nest_schema(flat: T.StructType) -> T.StructType:
                 order.append(h)
                 groups[h] = []
             groups[h].append((seg[1:], t))
+        if has_elems and order == [_ITEM]:
+            # anonymous inner array level (array<array<...>> with
+            # structs/maps below)
+            return T.ArrayType(build(groups[_ITEM], d))
         st = T.StructType([T.StructField(h, build(groups[h], d))
                            for h in order])
         return T.ArrayType(st) if has_elems else st
@@ -363,14 +381,33 @@ def _mk_value(acc, rel: str, dtype):
 
             return F.transform(zipped, rebuild_elem)
         if isinstance(et, T.MapType):
+            # element-context: zip ALL leaves under the keys/vals subtrees
+            # (they decompose further when key/value types contain
+            # structs/maps) and rebuild each per-element map inside
             kname = f"{rel}{_STRUCT_SEP}{_MAP_KEYS}"
             vname = f"{rel}{_STRUCT_SEP}{_MAP_VALS}"
-            zipped = F.arrays_zip(acc(elems_name).alias(elems_name),
-                                  acc(kname).alias(kname),
-                                  acc(vname).alias(vname))
+            kt = T.ArrayType(et.keyType, False)
+            vt = T.ArrayType(et.valueType, et.valueContainsNull)
+            names = [f.name for f in (_leaf_fields(kname, kt, 0)
+                                      + _leaf_fields(vname, vt, 0))]
+            zipped = F.arrays_zip(
+                acc(elems_name).alias(elems_name),
+                *[acc(nm).alias(nm) for nm in names])
             return F.transform(
                 zipped, lambda e: F.when(
-                    e[elems_name], F.map_from_arrays(e[kname], e[vname])))
+                    e[elems_name], F.map_from_arrays(
+                        _mk_value(lambda nm: e[nm], kname, kt),
+                        _mk_value(lambda nm: e[nm], vname, vt))))
+        if isinstance(et, T.ArrayType) and _needs_decompose(et):
+            iname = f"{rel}{_STRUCT_SEP}{_ITEM}"
+            names = [f.name for f in _leaf_fields(iname, et, 0)]
+            zipped = F.arrays_zip(
+                acc(elems_name).alias(elems_name),
+                *[acc(nm).alias(nm) for nm in names])
+            return F.transform(
+                zipped, lambda e: F.when(
+                    e[elems_name],
+                    _mk_value(lambda nm: e[nm], iname, et)))
     return acc(rel)
 
 
@@ -585,8 +622,7 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     if schema is not None and any(
             isinstance(f.dataType, (T.StructType, T.MapType))
             or (isinstance(f.dataType, T.ArrayType)
-                and isinstance(f.dataType.elementType,
-                               (T.StructType, T.MapType)))
+                and _needs_decompose(f.dataType))
             for f in schema.fields):
         nested_schema = schema
         schema = _flat_schema(schema)

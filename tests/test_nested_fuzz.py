@@ -32,10 +32,10 @@ def _scalar_chain(r: random.Random, depth: int) -> str:
     return t
 
 
-def _gen_type(r: random.Random, depth: int, ctx: str) -> str:
-    """ctx='free': top level / under a top-level struct (anything goes).
-    ctx='elem': a field of a struct inside an array (struct/map ok, but
-    arrays below must be scalar chains)."""
+def _gen_type(r: random.Random, depth: int, ctx: str = "free") -> str:
+    """Unconstrained composition: struct / map / array freely nested (the
+    engine's uniform recursion supports every combination; ``ctx`` is
+    retained for seed stability of the signature only)."""
     if depth <= 0:
         return r.choice(SCALARS)
     roll = r.random()
@@ -47,26 +47,19 @@ def _gen_type(r: random.Random, depth: int, ctx: str) -> str:
                            for i in range(n))
         return f"struct<{fields}>"
     if roll < 0.75:
-        # map value: scalar | struct/array-of-struct (elem ctx) | chain;
-        # map-of-map is fine when the inner values are scalar chains
-        if r.random() < 0.5:
-            v = _gen_type(r, depth - 1, "elem")
-            if v.startswith("map<"):
-                v = f"map<string, {_scalar_chain(r, 1)}>"
-        else:
-            v = _scalar_chain(r, 1)
+        v = (_gen_type(r, depth - 1, ctx)
+             if r.random() < 0.5 else _scalar_chain(r, 1))
         return f"map<string, {v}>"
-    # array: struct elements compose at ANY depth via transform-wrapped
-    # leaves; map elements get per-element keys/values leaves; only
-    # struct/map under two CONSECUTIVE array levels is unsupported
     sub = r.random()
-    if sub < 0.5:
+    if sub < 0.45:
         n = r.randint(1, 3)
-        fields = ", ".join(f"g{i}: {_gen_type(r, depth - 1, 'elem')}"
+        fields = ", ".join(f"g{i}: {_gen_type(r, depth - 1, ctx)}"
                            for i in range(n))
         return f"array<struct<{fields}>>"
-    if sub < 0.7:
-        return f"array<map<string, {_scalar_chain(r, 1)}>>"
+    if sub < 0.6:
+        return f"array<map<string, {_gen_type(r, depth - 1, ctx) if r.random() < 0.4 else _scalar_chain(r, 1)}>>"
+    if sub < 0.8:
+        return f"array<array<{_gen_type(r, depth - 1, ctx)}>>"
     return f"array<{_scalar_chain(r, 2)}>"
 
 
@@ -129,7 +122,7 @@ def _split_fields(s: str) -> list[str]:
     return parts
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 73, 89, 97])
+@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 73, 89, 97, 101, 113])
 def test_random_nested_schema_roundtrip(spark, seed):  # noqa: F811
     r = random.Random(seed)
     n_cols = r.randint(1, 3)

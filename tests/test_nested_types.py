@@ -338,16 +338,27 @@ def test_array_of_map_roundtrip(spark):
         assert got == exp
 
 
-def test_struct_below_consecutive_arrays_raises(spark):
-    """struct/map under two CONSECUTIVE array levels stays a loud error,
-    not a silent mis-encode."""
-    df = spark.createDataFrame(
-        [(1, [[{"x": 1}]])],
-        schema="id long, a array<array<struct<x: bigint>>>")
-    with pytest.raises(Exception, match=("struct/map nested below an array"
-                                         "|unsupported column type")):
-        pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
-                                  stripe_rows=10).collect()
+def test_struct_below_consecutive_arrays_roundtrip(spark):
+    """array<array<struct>> / array<array<map>>: the anonymous __item__
+    segment names each inner array level — structs/maps under ANY number
+    of consecutive array levels now encode; nulls at every level."""
+    schema = ("id long, a array<array<struct<x: bigint, s: string>>>, "
+              "m array<array<map<string, bigint>>>")
+    rows = [
+        (1, [[{"x": 1, "s": "a"}, None], [], None],
+            [[{"k": 1}, None], None, []]),
+        (2, [], []),
+        (3, None, None),
+        (4, [[{"x": None, "s": None}]], [[{}]]),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    stripes = pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                        stripe_rows=10)
+    exp = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    for dec in (pipeline.decode_dataframe(stripes, schema=df.schema),
+                pipeline.decode_dataframe(stripes)):  # schema-free too
+        got = {r["id"]: r.asDict(recursive=True) for r in dec.collect()}
+        assert got == exp
 
 
 def test_array_of_timestamp_and_date_roundtrip(spark):
