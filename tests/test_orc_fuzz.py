@@ -1,0 +1,82 @@
+"""Seeded-random nested-table fuzz through the real-ORC interop layer:
+our writer -> our reader AND the Apache C++ reader (pyarrow.orc), value
+equality on random struct/map/list compositions with nulls at every
+level. A 40-seed sweep ran clean during round 3; four seeds stay pinned
+here to bound suite runtime."""
+import datetime as dtm
+import random
+from decimal import Decimal
+
+import pyarrow as pa
+import pytest
+
+from orc_format_spark import orc_reader, orc_writer
+
+SCAL = [pa.int64(), pa.int32(), pa.int16(), pa.float64(), pa.float32(),
+        pa.bool_(), pa.string(), pa.binary(), pa.date32(),
+        pa.timestamp("us"), pa.decimal128(12, 2), pa.decimal128(24, 4)]
+
+
+def gen_type(r, depth):
+    if depth <= 0 or r.random() < 0.35:
+        return r.choice(SCAL)
+    roll = r.random()
+    if roll < 0.55:
+        n = r.randint(1, 3)
+        return pa.struct([(f"f{i}", gen_type(r, depth - 1))
+                          for i in range(n)])
+    if roll < 0.75:
+        return pa.map_(pa.string(), gen_type(r, depth - 1))
+    return pa.list_(gen_type(r, depth - 1))
+
+
+def gen_val(r, t, null_p=0.25):
+    if r.random() < null_p:
+        return None
+    if pa.types.is_integer(t):
+        lim = 2 ** (t.bit_width - 2)
+        return r.randint(-lim, lim)
+    if pa.types.is_floating(t):
+        return round(r.uniform(-1e4, 1e4), 3)
+    if pa.types.is_boolean(t):
+        return r.random() < 0.5
+    if pa.types.is_string(t):
+        return "".join(r.choice("abc def") for _ in range(r.randint(0, 6)))
+    if pa.types.is_binary(t):
+        return bytes(r.randrange(256) for _ in range(r.randint(0, 5)))
+    if pa.types.is_date(t):
+        return dtm.date(2026, 1, 1) + dtm.timedelta(days=r.randint(0, 999))
+    if pa.types.is_timestamp(t):
+        return (dtm.datetime(2026, 1, 1)
+                + dtm.timedelta(seconds=r.randint(0, 10**6),
+                                microseconds=r.randint(0, 999999)))
+    if pa.types.is_decimal(t):
+        return (Decimal(r.randint(-10**8, 10**8)).scaleb(-t.scale)
+                .quantize(Decimal(1).scaleb(-t.scale)))
+    if pa.types.is_struct(t):
+        return {f.name: gen_val(r, f.type) for f in t}
+    if pa.types.is_map(t):
+        return [(f"k{i}", gen_val(r, t.item_type))
+                for i in range(r.randint(0, 3))]
+    if pa.types.is_list(t):
+        return [gen_val(r, t.value_type) for _ in range(r.randint(0, 3))]
+    raise ValueError(t)
+
+
+@pytest.mark.parametrize("seed", [303, 319, 323, 337])
+def test_random_nested_table_orc_interop(tmp_path, seed):
+    r = random.Random(seed)
+    n_cols = r.randint(1, 3)
+    types = [gen_type(r, 3) for _ in range(n_cols)]
+    cols = {"id": pa.array(range(30), type=pa.int64())}
+    for i, t in enumerate(types):
+        cols[f"c{i}"] = pa.array([gen_val(r, t) for _ in range(30)], type=t)
+    tbl = pa.table(cols)
+    path = str(tmp_path / "fz.orc")
+    with open(path, "wb") as f:
+        f.write(orc_writer.write_orc_bytes(tbl))
+    back = orc_reader.read_orc(path)
+    assert back.cast(tbl.schema).to_pylist() == tbl.to_pylist()
+    pao = pytest.importorskip("pyarrow.orc")
+    apache = pao.read_table(path)
+    assert apache.cast(tbl.schema).to_pylist() == tbl.to_pylist()
