@@ -207,6 +207,31 @@ def _flatten_exprs(prefix: str, col, dtype) -> list:
                                                         dtype)]
 
 
+_RESERVED_SEGMENTS = frozenset(
+    {"__present__", _ELEMS, _ITEM, _MAP_KEYS, _MAP_VALS})
+
+
+def _check_field_names(prefix: str, dtype) -> None:
+    """Loudly reject nested field names that would collide with the
+    flatten's reserved segments or its ``·`` separator — a collision
+    would silently corrupt the leaf mapping / schema-free re-nest."""
+    def bad(name: str) -> bool:
+        return name in _RESERVED_SEGMENTS or _STRUCT_SEP in name
+    if isinstance(dtype, T.StructType):
+        for sub in dtype.fields:
+            if bad(sub.name):
+                raise ValueError(
+                    f"column {prefix!r}: nested field name {sub.name!r} "
+                    f"collides with a reserved flatten segment or contains "
+                    f"{_STRUCT_SEP!r}")
+            _check_field_names(f"{prefix}.{sub.name}", sub.dataType)
+    elif isinstance(dtype, T.MapType):
+        _check_field_names(prefix, dtype.keyType)
+        _check_field_names(prefix, dtype.valueType)
+    elif isinstance(dtype, T.ArrayType):
+        _check_field_names(prefix, dtype.elementType)
+
+
 def _flatten_struct_cols(df: DataFrame) -> DataFrame:
     """Struct/map columns -> leaf columns, the ORC model: structs own no
     data streams, only their leaves do (the reference's Kind::Struct,
@@ -223,6 +248,8 @@ def _flatten_struct_cols(df: DataFrame) -> DataFrame:
         return df
     cols = []
     for f in df.schema.fields:
+        if needs_flatten(f.dataType):
+            _check_field_names(f.name, f.dataType)
         for name, expr in _flatten_exprs(f.name, F.col(f.name), f.dataType):
             cols.append(expr.alias(name))
     return df.select(cols)

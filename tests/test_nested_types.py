@@ -406,3 +406,19 @@ def test_rich_transcripts_roundtrip(spark):
     # sanity: the shape was actually exercised (tool rows produced calls)
     n_calls = sum(len(v["tool_calls"] or []) for v in exp.values())
     assert n_calls > 0
+
+
+def test_reserved_field_name_collision_raises(spark):
+    """A user field literally named __present__ (or containing the leaf
+    separator) would silently corrupt the flatten mapping — must raise."""
+    df = spark.createDataFrame([(1, {"__present__": 2})],
+                               schema="id long, s struct<__present__: bigint>")
+    with pytest.raises(Exception, match="reserved flatten segment"):
+        pipeline.encode_dataframe(df, "id", None, sort_keys=["id"],
+                                  stripe_rows=10).collect()
+    df2 = spark.createDataFrame(
+        [(1, [{"a·b": 2}])],
+        schema="id long, s array<struct<`a·b`: bigint>>")
+    with pytest.raises(Exception, match="reserved flatten segment"):
+        pipeline.encode_dataframe(df2, "id", None, sort_keys=["id"],
+                                  stripe_rows=10).collect()
