@@ -71,6 +71,81 @@ def decode_ints(codec: str, data: bytes, extra: bytes, n: int) -> np.ndarray:
     return rle_v2.decode(data, n, signed=True)
 
 
+_POW10 = 10.0 ** np.arange(15)
+_ALP_SAMPLE = 4096
+
+
+def encode_floats(vals: np.ndarray) -> dict | None:
+    """ALP-style float64 compression (from the public idea in Afroozeh &
+    Boncz, "ALP: Adaptive Lossless floating-Point compression", VLDB 2023
+    — independently implemented): decimal-like doubles are exactly
+    round(v * 10^k) / 10^k, so store int64 mantissas through the int codec
+    selector plus BIT-PATTERN exceptions for the values that aren't
+    (NaN payloads, ±inf, -0.0, non-decimal doubles). One k per stripe,
+    chosen on a sample; kept only when smaller than raw IEEE. Returns
+    None when raw wins (caller falls back to float_raw)."""
+    n = len(vals)
+    if n == 0:
+        return None
+    v = np.ascontiguousarray(vals, dtype=np.float64)
+    s = v[:_ALP_SAMPLE]
+    with np.errstate(all="ignore"):
+        scaled = s[:, None] * _POW10[None, :]
+        ok = np.isfinite(scaled) & (np.abs(scaled) < 2.0**62)
+        m = np.where(ok, np.round(scaled), 0.0)
+        back = m / _POW10[None, :]
+    exact = (ok & (back.view(np.uint64) == s.view(np.uint64)[:, None])
+             & ~((s == 0) & np.signbit(s))[:, None])
+    cov = exact.mean(axis=0)
+    k = int(np.argmax(cov > 0.999999) if (cov > 0.999999).any()
+            else np.argmax(cov))
+    if cov[k] < 0.9:
+        return None
+    with np.errstate(all="ignore"):
+        scaled = v * _POW10[k]
+        ok = np.isfinite(scaled) & (np.abs(scaled) < 2.0**62)
+        m = np.where(ok, np.round(scaled), 0.0)
+        back = m / _POW10[k]
+    # -0.0 passes the float round-trip check but an int64 mantissa of 0
+    # decodes to +0.0 — keep negative zeros in the exception stream
+    exact = (ok & (back.view(np.uint64) == v.view(np.uint64))
+             & ~((v == 0) & np.signbit(v)))
+    exc_idx = np.flatnonzero(~exact)
+    if len(exc_idx) > n * 0.1:
+        return None
+    mant = m.astype(np.int64)
+    mant[~exact] = 0
+    codec, data, int_extra = encode_ints(mant)
+    dict_data = (varint.encode_unsigned(len(exc_idx))
+                 + rle_v2.encode(exc_idx.astype(np.uint64), signed=False)
+                 + v[exc_idx].tobytes())
+    extra = (varint.encode_unsigned(k)
+             + varint.encode_unsigned(len(int_extra)) + int_extra)
+    if len(data) + len(dict_data) + len(extra) >= 8 * n:
+        return None
+    return {"codec": f"alp:{codec}", "data": data, "dict_data": dict_data,
+            "extra": extra}
+
+
+def decode_floats_alp(codec: str, data: bytes, dict_data: bytes,
+                      extra: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`encode_floats` for ``alp:*`` codecs."""
+    extra = bytes(extra)
+    k, pos = varint.decode_unsigned(extra, 0)
+    int_extra_len, pos = varint.decode_unsigned(extra, pos)
+    int_extra = extra[pos:pos + int_extra_len]
+    mant = decode_ints(codec.split(":", 1)[1], data, int_extra, n)
+    out = mant / _POW10[k]
+    dd = bytes(dict_data)
+    n_exc, pos = varint.decode_unsigned(dd, 0)
+    if n_exc:
+        exc_idx = rle_v2.decode(dd[pos:], n_exc, signed=False)
+        raw = np.frombuffer(dd, dtype="<f8", count=n_exc,
+                            offset=len(dd) - 8 * n_exc)
+        out[exc_idx.astype(np.int64)] = raw
+    return out
+
+
 def _fsst_trial(blob: bytes):
     """One symbol-table build on the full blob's sample + a sample-encode
     size estimate. The table is REUSED for the full encode when FSST wins

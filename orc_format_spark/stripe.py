@@ -315,13 +315,20 @@ def encode_column(series, kind: str, force_codec: str | None = None,
             row.update(min_val=str(int(vals.min())), max_val=str(int(vals.max())))
         raw = len(vals) * 8
     elif kind in ("float32", "float64"):
-        data = floats.encode(vals, kind)
-        row.update(codec="float_raw", data=data)
+        enc = (selector.encode_floats(vals)
+               if kind == "float64" and force_codec in (None, "alp")
+               else None)
+        if enc is not None:
+            row.update(**enc)
+            raw = 8 * len(vals)
+        else:
+            data = floats.encode(vals, kind)
+            row.update(codec="float_raw", data=data)
+            raw = len(data)
         if len(vals):
             finite = vals[np.isfinite(vals)]
             if len(finite):
                 row.update(min_val=repr(float(finite.min())), max_val=repr(float(finite.max())))
-        raw = len(data)
     elif kind == "bool":
         row.update(codec="bool_rle", data=boolean_rle.encode_bools(vals))
         raw = len(vals)
@@ -435,7 +442,8 @@ _CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
               "nullable:str_list"] + [
               f"dec128:{a}:{b}" for a in ("rle_v2", "for", "for_scale")
               for b in ("rle_v2", "for", "for_scale")] + [
-              "bool_list", "nullable:bool_list"]
+              "bool_list", "nullable:bool_list",
+              "alp:rle_v2", "alp:for", "alp:for_scale"]
 _STREAMS = ("present", "data", "length", "dict_data", "extra")
 
 
@@ -685,7 +693,10 @@ def decode_column(row: dict) -> pa.Array | np.ndarray:
     if kind in INT_KINDS or kind in ("timestamp", "date"):
         vals = selector.decode_ints(codec, data, row["extra"], n_valid)
     elif kind in ("float32", "float64"):
-        vals = floats.decode(data, n_valid, kind)
+        vals = (selector.decode_floats_alp(codec, data, dict_data,
+                                           row["extra"], n_valid)
+                if codec.startswith("alp:")
+                else floats.decode(data, n_valid, kind))
     elif kind == "bool":
         vals = boolean_rle.decode_bools(data, n_valid)
     elif kind == "string":
@@ -906,7 +917,10 @@ def _decode_column_parts(row: dict):
             or kind.startswith("decimal_")):
         vals = selector.decode_ints(codec, data, row["extra"], n_valid)
     elif kind in ("float32", "float64"):
-        vals = floats.decode(data, n_valid, kind)
+        vals = (selector.decode_floats_alp(codec, data, dict_data,
+                                           row["extra"], n_valid)
+                if codec.startswith("alp:")
+                else floats.decode(data, n_valid, kind))
     elif kind == "bool":
         vals = boolean_rle.decode_bools(data, n_valid)
     elif kind == "string":

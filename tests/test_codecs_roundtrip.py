@@ -172,3 +172,50 @@ def test_floats_bit_identity_including_nan_payloads():
     enc = floats.encode(vals)
     dec = floats.decode(enc, len(vals))
     assert dec.tobytes() == vals.tobytes()  # bit-identical incl. NaN payload
+
+
+def test_alp_float_codec_bit_identity_and_fallback():
+    """ALP-style float64 path (public ALP idea, VLDB 2023): decimal-like
+    doubles ride int64 mantissas through the int selector with BIT-PATTERN
+    exceptions (NaN payloads, ±inf, -0.0, non-decimal values); random
+    doubles fall back to float_raw by size. Always bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    from orc_format_spark import stripe
+
+    rng = np.random.default_rng(11)
+    nan_payload = np.frombuffer(np.uint64(0x7FF8DEAD00000001).tobytes(),
+                                dtype=np.float64)[0]
+    decimal2 = np.round(rng.uniform(-1000, 1000, 20000), 2)
+    mixed = decimal2.copy()
+    mixed[::97] = np.nan
+    mixed[5::321] = np.float64(1) / 3
+    mixed[7] = -0.0
+    mixed[8] = nan_payload
+    cases = {
+        "decimal2": (decimal2, "alp:"),
+        "mixed": (mixed, "alp:"),
+        "integral": (rng.integers(-10**6, 10**6, 20000)
+                     .astype(np.float64), "alp:"),
+        "random": (rng.uniform(-1, 1, 20000), "float_raw"),
+    }
+    for name, (v, want) in cases.items():
+        row = stripe.encode_column(pa.array(v), "float64")
+        assert row["codec"].startswith(want), (name, row["codec"])
+        dec = np.asarray(stripe.decode_column(row), dtype=np.float64)
+        assert (dec.view(np.uint64) == v.view(np.uint64)).all(), name
+        if want == "alp:":
+            assert row["enc_bytes"] < 8 * len(v) // 2, name
+    # strided layout
+    row = stripe.encode_column_strided(pa.array(decimal2), "float64",
+                                       index_rows=4096)
+    dec = np.asarray(stripe.decode_column(row), dtype=np.float64)
+    assert (dec.view(np.uint64) == decimal2.view(np.uint64)).all()
+    # nullable column through the full present-stream path
+    withnulls = pa.array([1.25, None, -2.5, None, 3.75])
+    row = stripe.encode_column(withnulls, "float64")
+    got = stripe.decode_column(row)
+    import pandas as pd
+    got = pd.Series(got).tolist()
+    assert got[0] == 1.25 and got[2] == -2.5 and got[4] == 3.75
+    assert pd.isna(got[1]) and pd.isna(got[3])
