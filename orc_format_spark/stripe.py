@@ -359,8 +359,18 @@ def encode_column(series, kind: str, force_codec: str | None = None,
     elif kind.startswith("array_float"):
         flat, lengths, child_valid = vals
         fdtype = "float32" if kind.endswith("32") else "float64"
-        row.update(codec="float_list", data=floats.encode(flat, fdtype),
-                   length=rle_v2.encode(lengths, signed=False))
+        enc = (selector.encode_floats(flat) if fdtype == "float64"
+               and force_codec is None else None)
+        if enc is not None:
+            # decimal-like double children ride the ALP mantissa path
+            # (dict_data is otherwise unused for float lists)
+            row.update(codec="alp_list:" + enc["codec"].split(":", 1)[1],
+                       data=enc["data"], dict_data=enc["dict_data"],
+                       extra=enc["extra"],
+                       length=rle_v2.encode(lengths, signed=False))
+        else:
+            row.update(codec="float_list", data=floats.encode(flat, fdtype),
+                       length=rle_v2.encode(lengths, signed=False))
         raw = int(flat.nbytes) + 8 * len(lengths)
     elif kind in ("array_int64", "array_ts", "array_date"):
         flat, lengths, child_valid = vals
@@ -443,7 +453,9 @@ _CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
               f"dec128:{a}:{b}" for a in ("rle_v2", "for", "for_scale")
               for b in ("rle_v2", "for", "for_scale")] + [
               "bool_list", "nullable:bool_list",
-              "alp:rle_v2", "alp:for", "alp:for_scale"]
+              "alp:rle_v2", "alp:for", "alp:for_scale"] + [
+              f"{p}alp_list:{c}" for p in ("", "nullable:")
+              for c in ("rle_v2", "for", "for_scale")]
 _STREAMS = ("present", "data", "length", "dict_data", "extra")
 
 
@@ -899,8 +911,13 @@ def _decode_column_parts(row: dict):
             extra = extra[pos + cp_len:]
             n_child = int(child_valid.sum())
         if kind.startswith("array_float"):
-            fdtype = "float32" if kind.endswith("32") else "float64"
-            flat = floats.decode(data, n_child, fdtype)
+            if codec.startswith("alp_list:"):
+                flat = selector.decode_floats_alp(
+                    "alp:" + codec.split(":", 1)[1],
+                    data, dict_data, extra, n_child)
+            else:
+                fdtype = "float32" if kind.endswith("32") else "float64"
+                flat = floats.decode(data, n_child, fdtype)
         elif kind == "array_bool":
             flat = boolean_rle.decode_bools(data, n_child)
         elif kind in ("array_int64", "array_ts", "array_date"):

@@ -219,3 +219,47 @@ def test_alp_float_codec_bit_identity_and_fallback():
     got = pd.Series(got).tolist()
     assert got[0] == 1.25 and got[2] == -2.5 and got[4] == 3.75
     assert pd.isna(got[1]) and pd.isna(got[3])
+
+
+def test_alp_list_float64_children():
+    """ALP for array<double> children (alp_list codec): decimal-like list
+    doubles ride scaled-int mantissas; null lists, null elements, -0.0 and
+    NaN all survive; random children fall back to float_list; float32
+    lists stay raw."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    from orc_format_spark import stripe
+
+    rng = np.random.default_rng(5)
+    vals = [list(np.round(rng.uniform(-100, 100, rng.integers(0, 6)), 2))
+            for _ in range(3000)]
+    vals[3] = None
+    vals[7] = [1.25, None, -0.0]
+    vals[11] = [float("nan")]
+    arr = pa.array(vals, type=pa.list_(pa.float64()))
+
+    def canon(x):
+        if x is None:
+            return None
+        return [None if v is None
+                else "nan" if math.isnan(v)
+                else (v, math.copysign(1, v)) for v in x]
+
+    exp = [canon(x) for x in arr.to_pylist()]
+    row = stripe.encode_column(arr, "array_float64")
+    assert row["codec"] == "nullable:alp_list:rle_v2"
+    dec = stripe._to_arrow_array(stripe._decode_column_parts(row),
+                                 "array_float64", arr.type)
+    assert [canon(x) for x in dec.to_pylist()] == exp
+    srow = stripe.encode_column_strided(arr, "array_float64", index_rows=512)
+    sdec = stripe._to_arrow_array(stripe._decode_strided_parts(srow),
+                                  "array_float64", arr.type)
+    assert [canon(x) for x in sdec.to_pylist()] == exp
+
+    rnd = pa.array([list(rng.uniform(0, 1, 4)) for _ in range(500)],
+                   type=pa.list_(pa.float64()))
+    assert stripe.encode_column(rnd, "array_float64")["codec"] == "float_list"
+    f32 = pa.array([[1.5]], type=pa.list_(pa.float32()))
+    assert stripe.encode_column(f32, "array_float32")["codec"] == "float_list"
