@@ -127,6 +127,34 @@ def encode_floats(vals: np.ndarray) -> dict | None:
             "extra": extra}
 
 
+def try_float_shuffle(vals: np.ndarray, kind: str) -> bytes | None:
+    """Byte-plane shuffle (the public Blosc/BtrBlocks trick): transpose an
+    f32/f64 array into per-byte planes so the generic zlib layer sees runs
+    of exponent/top-mantissa bytes. Chosen only when the zlib'd shuffled
+    layout beats the zlib'd raw layout by >2% (both beat nothing on truly
+    random mantissas — the caller then keeps float_raw)."""
+    n = len(vals)
+    if n < 512:
+        return None
+    width = 4 if kind == "float32" else 8
+    raw = np.ascontiguousarray(vals).view(np.uint8).reshape(n, width)
+    shuf = raw.T.tobytes()
+    c_shuf = deflate.compress(shuf)
+    c_raw = deflate.compress(raw.tobytes())
+    if len(c_shuf) < len(c_raw) * 0.98 and len(c_shuf) < n * width:
+        return shuf
+    return None
+
+
+def decode_float_shuffle(data: bytes, n: int, kind: str) -> np.ndarray:
+    width = 4 if kind == "float32" else 8
+    planes = np.frombuffer(data, dtype=np.uint8,
+                           count=n * width).reshape(width, n)
+    out = np.ascontiguousarray(planes.T).view(
+        np.float32 if kind == "float32" else np.float64).ravel()
+    return out
+
+
 def decode_floats_alp(codec: str, data: bytes, dict_data: bytes,
                       extra: bytes, n: int) -> np.ndarray:
     """Inverse of :func:`encode_floats` for ``alp:*`` codecs."""

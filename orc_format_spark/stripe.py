@@ -322,9 +322,13 @@ def encode_column(series, kind: str, force_codec: str | None = None,
             row.update(**enc)
             raw = 8 * len(vals)
         else:
-            data = floats.encode(vals, kind)
-            row.update(codec="float_raw", data=data)
-            raw = len(data)
+            shuf = (selector.try_float_shuffle(vals, kind)
+                    if force_codec is None else None)
+            if shuf is not None:
+                row.update(codec="float_shuf", data=shuf)
+            else:
+                row.update(codec="float_raw", data=floats.encode(vals, kind))
+            raw = (4 if kind == "float32" else 8) * len(vals)
         if len(vals):
             finite = vals[np.isfinite(vals)]
             if len(finite):
@@ -453,7 +457,7 @@ _CODEC_IDS = ["rle_v2", "for", "for_scale", "float_raw", "bool_rle",
               f"dec128:{a}:{b}" for a in ("rle_v2", "for", "for_scale")
               for b in ("rle_v2", "for", "for_scale")] + [
               "bool_list", "nullable:bool_list",
-              "alp:rle_v2", "alp:for", "alp:for_scale"] + [
+              "alp:rle_v2", "alp:for", "alp:for_scale", "float_shuf"] + [
               f"{p}alp_list:{c}" for p in ("", "nullable:")
               for c in ("rle_v2", "for", "for_scale")]
 _STREAMS = ("present", "data", "length", "dict_data", "extra")
@@ -705,10 +709,13 @@ def decode_column(row: dict) -> pa.Array | np.ndarray:
     if kind in INT_KINDS or kind in ("timestamp", "date"):
         vals = selector.decode_ints(codec, data, row["extra"], n_valid)
     elif kind in ("float32", "float64"):
-        vals = (selector.decode_floats_alp(codec, data, dict_data,
-                                           row["extra"], n_valid)
-                if codec.startswith("alp:")
-                else floats.decode(data, n_valid, kind))
+        if codec.startswith("alp:"):
+            vals = selector.decode_floats_alp(codec, data, dict_data,
+                                              row["extra"], n_valid)
+        elif codec == "float_shuf":
+            vals = selector.decode_float_shuffle(data, n_valid, kind)
+        else:
+            vals = floats.decode(data, n_valid, kind)
     elif kind == "bool":
         vals = boolean_rle.decode_bools(data, n_valid)
     elif kind == "string":
@@ -934,10 +941,13 @@ def _decode_column_parts(row: dict):
             or kind.startswith("decimal_")):
         vals = selector.decode_ints(codec, data, row["extra"], n_valid)
     elif kind in ("float32", "float64"):
-        vals = (selector.decode_floats_alp(codec, data, dict_data,
-                                           row["extra"], n_valid)
-                if codec.startswith("alp:")
-                else floats.decode(data, n_valid, kind))
+        if codec.startswith("alp:"):
+            vals = selector.decode_floats_alp(codec, data, dict_data,
+                                              row["extra"], n_valid)
+        elif codec == "float_shuf":
+            vals = selector.decode_float_shuffle(data, n_valid, kind)
+        else:
+            vals = floats.decode(data, n_valid, kind)
     elif kind == "bool":
         vals = boolean_rle.decode_bools(data, n_valid)
     elif kind == "string":

@@ -197,7 +197,9 @@ def test_alp_float_codec_bit_identity_and_fallback():
         "mixed": (mixed, "alp:"),
         "integral": (rng.integers(-10**6, 10**6, 20000)
                      .astype(np.float64), "alp:"),
-        "random": (rng.uniform(-1, 1, 20000), "float_raw"),
+        # uniform [-1,1) has correlated sign/exponent bytes: the byte-plane
+        # shuffle fallback wins over raw, but ALP must NOT trigger
+        "random": (rng.uniform(-1, 1, 20000), "float_"),
     }
     for name, (v, want) in cases.items():
         row = stripe.encode_column(pa.array(v), "float64")
@@ -263,3 +265,35 @@ def test_alp_list_float64_children():
     assert stripe.encode_column(rnd, "array_float64")["codec"] == "float_list"
     f32 = pa.array([[1.5]], type=pa.list_(pa.float32()))
     assert stripe.encode_column(f32, "array_float32")["codec"] == "float_list"
+
+
+def test_float_shuffle_fallback():
+    """Byte-plane shuffle (public Blosc/BtrBlocks trick) for floats that
+    fail ALP: smooth/structured mantissas compress under the zlib layer;
+    bit-identical both widths; truly incompressible bit patterns keep
+    float_raw."""
+    import numpy as np
+    import pyarrow as pa
+    from orc_format_spark import stripe
+
+    t = np.linspace(0, 50, 40000)
+    smooth = np.sin(t) * 3.7 + t * 0.001
+    row = stripe.encode_column(pa.array(smooth), "float64")
+    assert row["codec"] == "float_shuf" and row["compression"].startswith("zlib")
+    dec = np.asarray(stripe.decode_column(row), dtype=np.float64)
+    assert (dec.view(np.uint64) == smooth.view(np.uint64)).all()
+    assert row["enc_bytes"] < 8 * len(smooth) * 0.8
+
+    s32 = (np.sin(t) * 3.7).astype(np.float32)
+    row32 = stripe.encode_column(pa.array(s32), "float32")
+    assert row32["codec"] == "float_shuf"
+    dec32 = np.asarray(stripe.decode_column(row32), dtype=np.float32)
+    assert (dec32.view(np.uint32) == s32.view(np.uint32)).all()
+
+    # full-entropy bit patterns: neither shuffle nor zlib help -> raw
+    bits = np.random.default_rng(3).integers(0, 2**63, 4096, dtype=np.int64)
+    noise = bits.view(np.float64)
+    noise = np.where(np.isnan(noise), 1.0, noise)  # keep ALP ineligible only by entropy
+    rown = stripe.encode_column(pa.array(noise), "float64")
+    decn = np.asarray(stripe.decode_column(rown), dtype=np.float64)
+    assert (decn.view(np.uint64) == noise.view(np.uint64)).all()

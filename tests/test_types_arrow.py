@@ -60,7 +60,7 @@ def test_codecs_recorded_for_each_type(spark, mixed_df):
             for r in stripes.select("col_name", "codec").distinct().collect()}
     assert tags["k"] in ("rle_v2", "for", "for_scale")
     assert tags["d"] in ("rle_v2", "for", "for_scale")
-    assert tags["f32"] == "float_raw"
+    assert tags["f32"] in ("float_raw", "float_shuf")
     assert tags["b"] == "bool_rle"
 
 
