@@ -8,7 +8,12 @@ misses — min/max stats only help sorted keys, blooms prune on ANY key
 (conv_id is hash-bucketed, so every stripe spans the full lexicographic
 range and min/max never prunes it).
 
-Layout: varint k, varint n_bits, bitset bytes (little-endian bit order).
+Layout: version byte 0xB1, varint k, varint n_bits, bitset bytes
+(little-endian bit order). The version byte pins the HASH SCHEME: blobs
+from other versions (including pre-versioned blobs, whose first byte is a
+small varint k < 0x80) are never probed — ``might_contain`` returns True
+(no pruning) instead of risking false negatives from mismatched hashes.
+Bump ``VERSION_BYTE`` whenever the hash family changes.
 Hashing (vectorized — build is ONE C-side pass over all distinct values,
 no per-value Python): h1 = pandas.util.hash_array (siphash-128/64 in C for
 str/bytes, fixed key; xor-shift mix for int64), h2 = splitmix64(h1) in
@@ -25,6 +30,9 @@ from .codecs import varint
 
 DEFAULT_K = 6
 BITS_PER_KEY = 12  # ~0.3% false-positive rate at k=6
+# Hash-scheme version. 0xB1 has the varint continuation bit set, so it can
+# never collide with a legacy blob's leading varint k (always < 0x80).
+VERSION_BYTE = 0xB1
 
 
 def _splitmix64(h: np.ndarray) -> np.ndarray:
@@ -101,7 +109,8 @@ def build(values, k: int = DEFAULT_K) -> bytes:
         with np.errstate(over="ignore"):
             idx = (h1[:, None] + steps[None, :] * h2[:, None]) & mask_bits
         bits[idx.ravel()] = True
-    return (varint.encode_unsigned(k) + varint.encode_unsigned(n_bits)
+    return (bytes([VERSION_BYTE])
+            + varint.encode_unsigned(k) + varint.encode_unsigned(n_bits)
             + np.packbits(bits, bitorder="little").tobytes())
 
 
@@ -109,7 +118,12 @@ def might_contain(blob: bytes, value) -> bool:
     """False -> the value is DEFINITELY absent from the stripe's column."""
     if not blob:
         return True  # no bloom recorded: cannot prune
-    k, pos = varint.decode_unsigned(blob, 0)
+    if blob[0] != VERSION_BYTE:
+        # Unknown/legacy hash scheme (e.g. old stripes in a resumed table):
+        # probing with today's hashes would yield false NEGATIVES and drop
+        # rows. Decline to prune instead.
+        return True
+    k, pos = varint.decode_unsigned(blob, 1)
     n_bits, pos = varint.decode_unsigned(blob, pos)
     bits = np.unpackbits(np.frombuffer(blob, np.uint8, offset=pos),
                          bitorder="little", count=n_bits)

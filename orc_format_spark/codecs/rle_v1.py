@@ -41,16 +41,29 @@ def decode(buf: bytes, n: int, signed: bool) -> np.ndarray:
             else:
                 base, pos = varint.decode_unsigned(buf, pos)
             take = min(length, n - got)
-            out[got:got + take] = base + delta * np.arange(take,
-                                                           dtype=np.int64)
+            # Fill in uint64 space: an unsigned base >= 2^63 arrives as a
+            # Python int, and `int + int64 array` would promote to float64
+            # and silently lose low bits. Wrap the base to its 64-bit
+            # pattern and add with uint64 wraparound (matching the literal
+            # path's view-based handling), then view back as int64.
+            base_u = np.uint64(base & 0xFFFFFFFFFFFFFFFF)
+            steps = (np.int64(delta)
+                     * np.arange(take, dtype=np.int64)).view(np.uint64)
+            with np.errstate(over="ignore"):
+                out[got:got + take] = (base_u + steps).view(np.int64)
             got += take
         else:
             count = 256 - h
             take = min(count, n - got)
+            # Bound the slice to the max varint footprint (10 bytes each):
+            # decode_*_array scans its whole input for terminators, so
+            # passing mv[pos:] would rescan the full remaining stream per
+            # group — O(groups x stream_len) on multi-MB v1 columns.
+            lim = mv[pos:pos + take * 10]
             if signed:
-                vals, used = varint.decode_signed_array(mv[pos:], take)
+                vals, used = varint.decode_signed_array(lim, take)
             else:
-                vals, used = varint.decode_unsigned_array(mv[pos:], take)
+                vals, used = varint.decode_unsigned_array(lim, take)
                 vals = vals.view(np.int64)
             out[got:got + take] = vals
             pos += used

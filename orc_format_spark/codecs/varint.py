@@ -106,6 +106,14 @@ def decode_unsigned_array(buf: bytes, n: int) -> tuple[np.ndarray, int]:
     lengths = ends - starts + 1
     if int(lengths.max()) > 10:
         raise ValueError("varint longer than 10 bytes (out of spec)")
+    if int(lengths.max()) == 10:
+        # A 10-byte varint's last byte holds bits 63..69; a uint64 value
+        # only uses bit 63, so anything above 1 means the encoded value
+        # exceeds 64 bits and would otherwise wrap SILENTLY (e.g. an
+        # Apache-written decimal mantissa 2^63+5 decoding as 5).
+        last = raw[ends[lengths == 10]] & np.uint8(0x7F)
+        if (last > 1).any():
+            raise ValueError("varint overflows uint64 (value needs >64 bits)")
     vals = np.zeros(n, dtype=np.uint64)
     for j in range(int(lengths.max())):
         sel = lengths > j

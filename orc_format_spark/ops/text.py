@@ -148,16 +148,29 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                 seg = np.searchsorted(dv, np.flatnonzero(long_docs))
                 mins = np.minimum.reduceat(hv, seg)
                 out[long_docs] = mins.astype(np.int64) - (1 << 62)
-            # short docs: whole-doc polynomial hash (ascending powers,
-            # wrap-mod-2^64 per term — kept byte-compatible with the
-            # original per-doc formula)
-            for i in np.flatnonzero(~long_docs):
-                b = buf[starts[i]:starts[i + 1]]
-                if len(b):
-                    p = base ** np.arange(len(b), dtype=np.uint64)
-                    out[i] = int(((b * p) % mod).sum() % mod) - (1 << 62)
-                else:
-                    out[i] = -(1 << 62)
+            # short docs: whole-doc polynomial hash, one vectorized pass
+            # over the same concatenated buffer (gather + segmented
+            # add.reduceat). Byte-compatible with the historical per-doc
+            # formula: powers wrap mod 2^64 (plain uint64 base**pos), each
+            # term is reduced mod 2^61-1, the segment sum wraps mod 2^64,
+            # and the final value is reduced mod 2^61-1 again.
+            short = np.flatnonzero(~long_docs)
+            if len(short):
+                out[short] = -(1 << 62)
+                nonempty = short[lens[short] > 0]
+                if len(nonempty):
+                    seg_lens = lens[nonempty]
+                    bounds = np.zeros(len(nonempty), dtype=np.int64)
+                    np.cumsum(seg_lens[:-1], out=bounds[1:])
+                    total = int(seg_lens.sum())
+                    pos_in_doc = (np.arange(total, dtype=np.int64)
+                                  - np.repeat(bounds, seg_lens))
+                    byte_idx = np.repeat(starts[nonempty], seg_lens) + pos_in_doc
+                    with np.errstate(over="ignore"):
+                        pow_tab = base ** np.arange(window, dtype=np.uint64)
+                        terms = (buf[byte_idx] * pow_tab[pos_in_doc]) % mod
+                        sums = np.add.reduceat(terms, bounds)
+                    out[nonempty] = (sums % mod).astype(np.int64) - (1 << 62)
             yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
 
     return df.select(id_col, text_col).mapInPandas(

@@ -388,7 +388,15 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
     if kind == "decimal":
         scale = typ["scale"] or 0
         prec = typ["precision"] or 38
-        mantissa, _ = varint.decode_signed_array(data, n_valid)
+        try:
+            mantissa, _ = varint.decode_signed_array(data, n_valid)
+        except ValueError as e:
+            if "overflows" in str(e) or "longer than 10" in str(e):
+                raise NotImplementedError(
+                    "decimal mantissa exceeds 64 bits (|unscaled| >= 2^63): "
+                    "wide-mantissa decimal decode is not supported by this "
+                    "reader") from e
+            raise
         words = np.empty((n_valid, 2), dtype=np.int64)
         words[:, 0] = mantissa
         words[:, 1] = mantissa >> 63
@@ -397,7 +405,9 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
             [None, pa.py_buffer(words.tobytes())])
         return _scatter(vals_arr)
     raise NotImplementedError(
-        f"ORC type kind '{kind}' (nested types not supported by this reader)")
+        f"unknown ORC type kind '{kind}' (all spec'd kinds — including "
+        "struct/list/map/union — are handled; this kind is outside the "
+        "ORC v1 type model)")
 
 
 # ---------------------------------------------------------------------------

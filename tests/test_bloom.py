@@ -64,3 +64,19 @@ def test_absent_key_prunes_everything(spark, tmp_path):
     pipeline.encode_job(spark, df, out, stripe_rows=500, n_buckets=8)
     got = pipeline.decode_job(spark, out, key_equals="no-such-conversation")
     assert got.count() == 0
+
+
+def test_legacy_unversioned_blob_never_prunes():
+    """Blobs without the 0xB1 version byte (earlier builds of this engine,
+    old stripes in a resumed table) must not be probed with today's hash
+    scheme — mismatched hashes would yield false NEGATIVES that silently
+    drop stripes. Unknown version => might_contain is True (no pruning)."""
+    blob = bloom.build(["a", "b", "c"])
+    assert blob[0] == bloom.VERSION_BYTE
+    # legacy layout: varint k first (always < 0x80), no version byte
+    legacy = blob[1:]
+    assert legacy[0] < 0x80
+    assert bloom.might_contain(legacy, "definitely-not-a-member") is True
+    # and an explicitly foreign version byte
+    foreign = bytes([0xB2]) + blob[1:]
+    assert bloom.might_contain(foreign, "definitely-not-a-member") is True

@@ -297,3 +297,74 @@ def test_float_shuffle_fallback():
     rown = stripe.encode_column(pa.array(noise), "float64")
     decn = np.asarray(stripe.decode_column(rown), dtype=np.float64)
     assert (decn.view(np.uint64) == noise.view(np.uint64)).all()
+
+
+def test_rle_v1_unsigned_run_base_above_2_63():
+    """RLE v1 unsigned RUN groups with a base >= 2^63: the arange fill must
+    stay in 64-bit integer space (a Python-int base promotes int64 math to
+    float64 and silently loses low bits)."""
+    from orc_format_spark.codecs import rle_v1, varint
+    base = 2**63 + 1
+    buf = bytes([0]) + bytes([1]) + varint.encode_unsigned(base)  # 3 vals, delta +1
+    got = rle_v1.decode(buf, 3, signed=False)
+    assert got.dtype == np.uint64
+    assert got.tolist() == [base, base + 1, base + 2]
+    # and a descending run that wraps through the 2^63 boundary
+    buf2 = bytes([0]) + bytes([0xFF]) + varint.encode_unsigned(2**63)  # delta -1
+    got2 = rle_v1.decode(buf2, 3, signed=False)
+    assert got2.tolist() == [2**63, 2**63 - 1, 2**63 - 2]
+
+
+def test_rle_v1_literal_scan_is_bounded():
+    """Many LITERALS groups in one stream: decode must not rescan the whole
+    remaining buffer per group (O(n^2) byte scans on multi-MB v1 columns)."""
+    import time
+    from orc_format_spark.codecs import rle_v1, varint
+    rng2 = np.random.default_rng(7)
+    vals = rng2.integers(0, 2**40, 100_000).astype(np.uint64)
+    parts = []
+    for i in range(0, len(vals), 128):
+        grp = vals[i:i + 128]
+        parts.append(bytes([256 - len(grp)]))
+        parts.append(varint.encode_unsigned_array(grp))
+    buf = b"".join(parts)
+    t0 = time.perf_counter()
+    got = rle_v1.decode(buf, len(vals), signed=False)
+    dt = time.perf_counter() - t0
+    assert (got == vals).all()
+    assert dt < 2.0, f"v1 literal decode too slow ({dt:.2f}s) — unbounded rescans?"
+
+
+def test_varint_overflow_is_loud():
+    """A varint encoding a value that needs >64 bits must raise, not wrap:
+    an Apache-written decimal mantissa 2^63+5 (zigzag 2^64+10) used to
+    silently decode as 5."""
+    from orc_format_spark.codecs import varint
+    v = (2**63 + 5) << 1  # zigzag of +(2^63+5); needs 65 bits
+    parts = []
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            parts.append(b | 0x80)
+        else:
+            parts.append(b)
+            break
+    buf = bytes(parts)
+    with pytest.raises(ValueError, match="overflows uint64"):
+        varint.decode_unsigned_array(buf, 1)
+
+
+def test_orc_reader_unknown_kind_message():
+    """The _decode_column fallthrough names only genuinely unknown kinds
+    (struct/list/map/union are all handled above it)."""
+    from orc_format_spark import orc_reader
+    orc_reader._KINDS.append("hyperloglog")
+    try:
+        typ = {"kind": len(orc_reader._KINDS) - 1, "scale": None,
+               "precision": None}
+        sf = {"encodings": {typ["kind"]: {"kind": 0}}, "streams": []}
+        with pytest.raises(NotImplementedError, match="unknown ORC type kind"):
+            orc_reader._decode_column(b"", sf, typ["kind"], typ, 5, 0, None)
+    finally:
+        orc_reader._KINDS.pop()

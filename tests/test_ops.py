@@ -246,3 +246,30 @@ def test_multimodal_vectorized_matches_scalar_decoder(spark):
         assert list(mine["frame_idx"]) == list(range(0, h, 2))
         for _, r in mine.iterrows():
             assert bytes(r["frame"]) == img[r["frame_idx"]].tobytes()
+
+
+def test_fingerprint_short_docs_vectorized_pinned(spark):
+    """Short docs (< window bytes) hash through the vectorized segmented
+    reduceat path; values pinned against the historical per-doc loop
+    formula (powers wrap mod 2^64, terms mod 2^61-1, sum wraps, final mod)."""
+    texts = ["", "a", "ab", "hello world 15b", "exactly-16-bytes",
+             "a long document far past the window size " * 4]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    out = text.fingerprint(df).orderBy("doc_id").toPandas()
+
+    import numpy as np
+    mod = np.uint64((1 << 61) - 1)
+    base = np.uint64(1_000_003)
+
+    def loop_fp(s: str) -> int:
+        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
+        if not len(b):
+            return -(1 << 62)
+        with np.errstate(over="ignore"):
+            p = base ** np.arange(len(b), dtype=np.uint64)
+            return int(((b * p) % mod).sum() % mod) - (1 << 62)
+
+    for i, t in enumerate(texts[:4]):  # the genuinely-short docs
+        assert out["fingerprint"][i] == loop_fp(t), t
+    assert out["fingerprint"][0] == -(1 << 62)  # empty doc sentinel
