@@ -300,16 +300,69 @@ def q_stride_pruned_lookup(spark, sf_dir):
 
 
 def q_codec_selection(spark, sf_dir):
-    """Per-column chosen codec + sizes over events (engine metadata;
-    rows-only check — depends on our codec inventory, not SQL)."""
+    """Per-column chosen codec + sizes over events, SELF-VERIFYING: no SQL
+    oracle can exist for our codec inventory, but the selector's invariant
+    can be checked structurally — for every stripe, the chosen codec's
+    payload bytes (data/length/dict/extra streams, excluding the shared
+    present stream and bloom metadata) must be <= the framed-zlib trial
+    over the same stripe's decoded raw values. ``beats_zlib`` must be
+    all-true; scripts/check_oracles.py treats any false as a hard failure."""
     _pin(spark)
     df = _read(spark, sf_dir, "events")
     stripes = pipeline.encode_dataframe(df, "event_id", None,
                                         sort_keys=["event_id"], stripe_rows=8192)
-    return (stripes.groupBy("col_name", "col_kind", "codec")
+
+    def trial(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        from orc_format_spark import stripe as stripe_mod
+        from orc_format_spark.codecs import deflate
+        for pdf in batches:
+            recs = []
+            for _, r in pdf.iterrows():
+                row = dict(r)
+                arr = stripe_mod.decode_column(row)
+                kind = row["col_kind"]
+                if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+                        arr = arr.cast(pa.large_binary())
+                        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                                             count=len(arr) + 1)
+                        blob = (arr.buffers()[2].to_pybytes()
+                                if arr.buffers()[2] is not None else b"")
+                        raw = blob + np.diff(offs).tobytes()
+                    else:
+                        raw = np.ascontiguousarray(
+                            arr.to_numpy(zero_copy_only=False)).tobytes()
+                else:
+                    a = np.asarray(arr)
+                    if a.dtype.kind == "M":
+                        a = a.view("int64")
+                    elif a.dtype == bool:
+                        a = a.astype(np.uint8)
+                    raw = np.ascontiguousarray(a).tobytes()
+                payload = sum(len(row[s]) for s in
+                              ("data", "length", "dict_data", "extra"))
+                recs.append((row["col_name"], kind, row["codec"],
+                             int(row["raw_bytes"]), int(row["enc_bytes"]),
+                             payload, len(deflate.compress(raw))))
+            if recs:
+                yield pd.DataFrame(recs, columns=[
+                    "col_name", "col_kind", "codec", "raw_bytes",
+                    "enc_bytes", "payload_bytes", "zlib_bytes"])
+
+    per = stripes.mapInPandas(trial, schema=(
+        "col_name string, col_kind string, codec string, raw_bytes long, "
+        "enc_bytes long, payload_bytes long, zlib_bytes long"))
+    return (per.groupBy("col_name", "col_kind", "codec")
             .agg(F.count("*").alias("n_stripes"),
                  F.sum("raw_bytes").alias("raw_bytes"),
-                 F.sum("enc_bytes").alias("enc_bytes"))
+                 F.sum("enc_bytes").alias("enc_bytes"),
+                 F.expr("bool_and(payload_bytes <= zlib_bytes)")
+                 .alias("beats_zlib"))
             .orderBy("col_name", "codec"))
 
 
@@ -454,7 +507,14 @@ def q_ann_lsh_topk(spark, sf_dir):
         "embedding": [query] * 10}))
     uni = emb.unionByName(planted.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding")))
-    return (similarity.lsh_topk(uni, query, k=10, n_planes=6, n_probes=4)
+    # scale path: bucketize ONCE into a persisted bucket-partitioned index,
+    # then probe it — the probe scans only the probed bucket partitions
+    # (PartitionFilters), never the full corpus
+    import os
+    path = os.path.join("spark-warehouse",
+                        f"ann_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    similarity.build_ann_index(uni, path, n_planes=6, seed=42)
+    return (similarity.probe_ann_index(spark, path, query, k=10, n_probes=4)
             .select("vec_id"))
 
 

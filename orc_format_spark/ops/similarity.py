@@ -42,27 +42,21 @@ def brute_force_topk(emb: DataFrame, query: list[float], k: int = 10,
             .limit(k))
 
 
-def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 8, n_probes: int = 3, seed: int = 42) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket the corpus once, probe the
-    query's bucket plus its ``n_probes`` nearest sign-flips, exact-rank the
-    survivors. Recall grows with n_probes; cost stays ~(probes/2^planes)."""
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane family — build and probe must agree, so the
+    planes are a pure function of (seed, n_planes, dim)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
-    q = np.asarray(query, dtype=np.float64)
-    margins = planes @ q
-    qbucket = int(((margins > 0).astype(np.uint64)
-                   << np.arange(n_planes, dtype=np.uint64)).sum())
-    # probe buckets: flip the lowest-|margin| planes (most uncertain signs)
-    flip_order = np.argsort(np.abs(margins))
-    probe = [qbucket] + [qbucket ^ (1 << int(i)) for i in flip_order[:n_probes]]
 
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _bucketize(emb: DataFrame, planes: np.ndarray, id_col: str,
+               vec_col: str) -> DataFrame:
+    """One vectorized pass attaching the hyperplane-sign bucket per vector."""
+    n_planes = len(planes)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             m = np.vstack(pdf[vec_col].to_numpy())
             signs = (m @ planes.T) > 0
             bucket = (signs.astype(np.uint64)
@@ -72,8 +66,76 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,
             yield out
 
     schema = f"{id_col} long, {vec_col} array<float>, bucket long"
-    bucketed = emb.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
-    cand = bucketed.where(F.col("bucket").isin(probe))
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def _probe_buckets(query: list[float], planes: np.ndarray,
+                   n_probes: int) -> list[int]:
+    """Query bucket + its ``n_probes`` nearest sign-flips (most uncertain
+    planes first — the lowest-|margin| ones)."""
+    n_planes = len(planes)
+    q = np.asarray(query, dtype=np.float64)
+    margins = planes @ q
+    qbucket = int(((margins > 0).astype(np.uint64)
+                   << np.arange(n_planes, dtype=np.uint64)).sum())
+    flip_order = np.argsort(np.abs(margins))
+    return [qbucket] + [qbucket ^ (1 << int(i)) for i in flip_order[:n_probes]]
+
+
+def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Bucketize the corpus ONCE and persist it partitioned by bucket, so
+    every probe prunes to ~(n_probes/2^n_planes) of the data via parquet
+    partition pruning (PartitionFilters in the scan) instead of
+    re-bucketizing the whole corpus per query. The LSH parameters ride in a
+    ``_ann_meta`` side table (underscore-prefixed => invisible to parquet
+    discovery), so ``load_ann_index``/``probe_ann_index`` reconstruct the
+    exact plane family. Returns the reloaded index DataFrame."""
+    spark = emb.sparkSession
+    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = _planes(n_planes, dim, seed)
+    bucketed = _bucketize(emb, planes, id_col, vec_col)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark.createDataFrame(
+        [(int(n_planes), int(seed), int(dim), id_col, vec_col)],
+        "n_planes long, seed long, dim long, id_col string, vec_col string"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_ann_meta")
+    return load_ann_index(spark, path)[0]
+
+
+def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(index DataFrame, meta dict) for an index written by build_ann_index."""
+    meta = spark.read.parquet(path + "/_ann_meta").first().asDict()
+    return spark.read.parquet(path), meta
+
+
+def probe_ann_index(spark, path: str, query: list[float], k: int = 10,
+                    n_probes: int = 3) -> DataFrame:
+    """Top-k probe against a persisted index: reads ONLY the probed bucket
+    partitions (partition pruning), exact-ranks the survivors."""
+    index, meta = load_ann_index(spark, path)
+    return lsh_topk(index, query, k=k, id_col=meta["id_col"],
+                    vec_col=meta["vec_col"], n_planes=int(meta["n_planes"]),
+                    n_probes=n_probes, seed=int(meta["seed"]))
+
+
+def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 8, n_probes: int = 3, seed: int = 42) -> DataFrame:
+    """Approximate top-k. ``emb`` is either a persisted/bucketed index (has
+    a ``bucket`` column — from :func:`build_ann_index`; the scale path:
+    probes prune partitions, nothing is re-bucketized) or a raw embedding
+    table (ad-hoc path: bucketized transiently for this one query). Probes
+    the query's bucket plus its ``n_probes`` nearest sign-flips, exact-ranks
+    the survivors; cost stays ~(probes/2^planes) of the corpus."""
+    planes = _planes(n_planes, len(query), seed)
+    probe = _probe_buckets(query, planes, n_probes)
+    if "bucket" in emb.columns:
+        cand = emb.where(F.col("bucket").isin(probe))
+    else:
+        cand = _bucketize(emb, planes, id_col, vec_col).where(
+            F.col("bucket").isin(probe))
     return (cand.select(id_col, _cosine_expr(vec_col, query).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))

@@ -154,6 +154,75 @@ def _parse_footer(buf: bytes) -> dict:
     return fo
 
 
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _parse_column_stats(buf: bytes) -> dict:
+    """One ColumnStatistics (public orc_proto.proto): numberOfValues=1,
+    intStatistics=2 (sint64 min=1/max=2), doubleStatistics=3 (double
+    min=1/max=2), stringStatistics=4 (bytes min=1/max=2),
+    dateStatistics=7 (sint32 min=1/max=2), timestampStatistics=9
+    (minimumUtc=3/maximumUtc=4, millis), hasNull=10."""
+    st = {"n": None, "min": None, "max": None, "kind": None, "has_null": None}
+    for f, _, v in _pb_fields(buf):
+        if f == 1:
+            st["n"] = v
+        elif f == 2:
+            st["kind"] = "int"
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 1:
+                    st["min"] = _zigzag(v2)
+                elif f2 == 2:
+                    st["max"] = _zigzag(v2)
+        elif f == 3:
+            st["kind"] = "double"
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 1:
+                    st["min"] = np.frombuffer(
+                        v2.to_bytes(8, "little"), "<f8")[0].item()
+                elif f2 == 2:
+                    st["max"] = np.frombuffer(
+                        v2.to_bytes(8, "little"), "<f8")[0].item()
+        elif f == 4:
+            st["kind"] = "string"
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 1:
+                    st["min"] = v2.decode("utf-8")
+                elif f2 == 2:
+                    st["max"] = v2.decode("utf-8")
+        elif f == 7:
+            st["kind"] = "date"
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 1:
+                    st["min"] = _zigzag(v2)
+                elif f2 == 2:
+                    st["max"] = _zigzag(v2)
+        elif f == 9:
+            st["kind"] = "timestamp_ms_utc"
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 3:
+                    st["min"] = _zigzag(v2)
+                elif f2 == 4:
+                    st["max"] = _zigzag(v2)
+        elif f == 10:
+            st["has_null"] = bool(v)
+    return st
+
+
+def _parse_metadata(buf: bytes) -> list[list[dict]]:
+    """Metadata section: repeated StripeStatistics (field 1), each a
+    repeated ColumnStatistics (field 1) indexed by flattened column id —
+    the per-stripe stats the file-level pruning path uses
+    (reference models them in src/proto.rs:88-99)."""
+    stripes = []
+    for f, _, v in _pb_fields(buf):
+        if f == 1:
+            stripes.append([_parse_column_stats(v2)
+                            for f2, _, v2 in _pb_fields(v) if f2 == 1])
+    return stripes
+
+
 def _parse_stripe_footer(buf: bytes) -> dict:
     sf = {"streams": [], "encodings": []}
     for f, _, v in _pb_fields(buf):
@@ -415,8 +484,9 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
 # ---------------------------------------------------------------------------
 
 
-def read_orc_bytes(raw: bytes) -> pa.Table:
-    """Parse one ORC file from bytes into a pyarrow Table."""
+def read_orc_bytes(raw: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Parse one ORC file from bytes into a pyarrow Table. ``columns``
+    prunes the decode to those top-level columns' streams only."""
     if len(raw) < 4 or not raw.startswith(MAGIC):
         raise ValueError("not an ORC file (missing header magic)")
     ps_len = raw[-1]
@@ -430,8 +500,8 @@ def read_orc_bytes(raw: bytes) -> pa.Table:
     root = footer["types"][0]
     if _KINDS[root["kind"]] != "struct":
         raise NotImplementedError("ORC root type must be a struct")
-    names = root["fieldNames"]
-    col_ids = root["subtypes"]
+    col_ids, names = _select_fields(root["subtypes"], root["fieldNames"],
+                                    columns)
 
     batches = []
     for si in footer["stripes"]:
@@ -454,16 +524,19 @@ def read_orc_bytes(raw: bytes) -> pa.Table:
     return pa.Table.from_batches(batches)
 
 
-def read_orc(path: str) -> pa.Table:
+def read_orc(path: str, columns: list[str] | None = None) -> pa.Table:
     """Read one ORC file from disk (pure Python tail reader + our codecs)."""
     with open(path, "rb") as f:
-        return read_orc_bytes(f.read())
+        return read_orc_bytes(f.read(), columns=columns)
 
 
-def read_tail(path: str, probe: int = 16384) -> tuple[dict, dict]:
-    """(postscript, footer) reading ONLY the file tail — the planning read
-    the reference's StripeInformation byte ranges exist for
-    (src/read/mod.rs:46-111): one small seek per file, never the data."""
+def read_tail(path: str, probe: int = 16384,
+              with_stats: bool = False):
+    """(postscript, footer[, stripe_stats]) reading ONLY the file tail —
+    the planning read the reference's StripeInformation byte ranges exist
+    for (src/read/mod.rs:46-111): one small seek per file, never the data.
+    ``with_stats`` additionally parses the Metadata section's per-stripe
+    ColumnStatistics (stripe_stats[i][col_id]) for stripe pruning."""
     import os
     size = os.path.getsize(path)
     with open(path, "rb") as f:
@@ -480,26 +553,51 @@ def read_tail(path: str, probe: int = 16384) -> tuple[dict, dict]:
     footer = _parse_footer(
         _decompress(tail[f_end - ps["footerLength"]:f_end],
                     ps["compression"]))
-    return ps, footer
+    if not with_stats:
+        return ps, footer
+    m_len = ps.get("metadataLength", 0)
+    stats = []
+    if m_len:
+        m_start = f_end - ps["footerLength"] - m_len
+        stats = _parse_metadata(
+            _decompress(tail[m_start:m_start + m_len], ps["compression"]))
+    return ps, footer, stats
 
 
-def spark_read_orc(spark, paths: list[str]):
-    """Distributed read of ORC files through THIS reader — one STRIPE per
-    plan row, decoded executor-side with the engine's codecs (not Spark's
-    native ORC source).
+def _stats_may_match(st: dict, op: str, value) -> bool:
+    """Can a stripe whose column stats are ``st`` contain a row matching
+    ``col <op> value``? Conservative: unknown stats/kinds => True."""
+    if not st or st.get("min") is None or st.get("max") is None:
+        return True
+    lo, hi = st["min"], st["max"]
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<=":
+            return lo <= value
+        if op == ">=":
+            return hi >= value
+        if op == "between":
+            vlo, vhi = value
+            return not (vhi < lo or vlo > hi)
+    except TypeError:
+        return True
+    return True
 
-    Planning reads only each file's tail (PostScript + Footer); each task
-    then seeks and reads exactly its stripe's byte range, so per-task
-    memory is bounded by the largest stripe, not the largest file, and a
-    few large .orc files still fan out across the cluster (the r2 design
-    read whole files, one file per task)."""
-    from pyspark.sql.pandas.types import from_arrow_schema
 
+def _plan_stripes(paths: list[str], predicate=None):
+    """Driver-side planning: tail-only reads -> (plans, meta, names, types,
+    n_pruned). ``predicate`` = (col_name, op, value) with op in
+    {'=', '<=', '>=', 'between'} prunes stripes whose Metadata-section
+    ColumnStatistics prove no row can match — the file-level analog of the
+    engine manifest's min/max pruning (values stay exact because the
+    caller's residual filter still runs on the surviving stripes)."""
     plans = []        # (path, offset, index_len, data_len, footer_len, rows)
     meta = {}         # path -> (compression, types, col_ids, names)
     names0 = types0 = None
+    n_pruned = 0
     for p in paths:
-        ps, footer = read_tail(p)
+        ps, footer, stats = read_tail(p, with_stats=True)
         root = footer["types"][0]
         if _KINDS[root["kind"]] != "struct":
             raise NotImplementedError("ORC root type must be a struct")
@@ -509,18 +607,65 @@ def spark_read_orc(spark, paths: list[str]):
             raise ValueError(f"ORC schema mismatch across files: {p}")
         meta[p] = (ps["compression"], footer["types"], root["subtypes"],
                    root["fieldNames"])
-        for si in footer["stripes"]:
+        pred_cid = None
+        if predicate is not None and predicate[0] in root["fieldNames"]:
+            pred_cid = root["subtypes"][root["fieldNames"].index(predicate[0])]
+        for i, si in enumerate(footer["stripes"]):
+            if (pred_cid is not None and i < len(stats)
+                    and pred_cid < len(stats[i])
+                    and not _stats_may_match(stats[i][pred_cid],
+                                             predicate[1], predicate[2])):
+                n_pruned += 1
+                continue
             plans.append((p, si["offset"], si.get("indexLength", 0),
                           si["dataLength"], si["footerLength"],
                           si["numberOfRows"]))
+    return plans, meta, names0, types0, n_pruned
+
+
+def _select_fields(col_ids: list, names: list, columns):
+    """Top-level projection: keep only the requested (cid, name) pairs, in
+    the requested order. None => all columns."""
+    if columns is None:
+        return list(col_ids), list(names)
+    by_name = dict(zip(names, col_ids))
+    missing = [c for c in columns if c not in by_name]
+    if missing:
+        raise KeyError(f"ORC columns not in file: {missing}")
+    return [by_name[c] for c in columns], list(columns)
+
+
+def spark_read_orc(spark, paths: list[str], columns: list[str] | None = None,
+                   predicate=None):
+    """Distributed read of ORC files through THIS reader — one STRIPE per
+    plan row, decoded executor-side with the engine's codecs (not Spark's
+    native ORC source).
+
+    Planning reads only each file's tail (PostScript + Footer + Metadata);
+    each task then seeks and reads exactly its stripe's byte range, so
+    per-task memory is bounded by the largest stripe, not the largest file,
+    and a few large .orc files still fan out across the cluster (the r2
+    design read whole files, one file per task).
+
+    ``columns`` prunes the read to those top-level columns: only their
+    streams are decoded per stripe (the reference's per-column slicing,
+    src/read/mod.rs:117-159). ``predicate`` = (col, op, value), op in
+    {'=', '<=', '>=', 'between'}, prunes whole stripes via the Metadata
+    section's per-stripe ColumnStatistics; it is a PRUNING HINT — surviving
+    stripes return all their rows, so keep the exact filter on top (values
+    stay exact, matching how PushedFilters compose with Spark filters)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    plans, meta, names0, types0, _ = _plan_stripes(paths, predicate)
 
     # schema from the type tree (no data read): decode a 0-row probe
-    first = read_orc_bytes(open(paths[0], "rb").read()) if not plans else None
-    if plans:
-        sample_schema = _schema_from_types(types0, types0[0]["subtypes"],
-                                           names0)
-    else:
+    if names0 is None:
+        first = read_orc_bytes(open(paths[0], "rb").read(), columns=columns)
         sample_schema = first.schema
+    else:
+        sel_ids, sel_names = _select_fields(types0[0]["subtypes"], names0,
+                                            columns)
+        sample_schema = _schema_from_types(types0, sel_ids, sel_names)
     schema = from_arrow_schema(sample_schema)
 
     pdf = spark.createDataFrame(
@@ -534,6 +679,7 @@ def spark_read_orc(spark, paths: list[str]):
             for row in b.to_pylist():
                 p = row["path"]
                 comp, types, col_ids, names = meta[p]
+                sel_ids, sel_names = _select_fields(col_ids, names, columns)
                 with open(p, "rb") as f:
                     f.seek(row["off"])
                     stripe_all = f.read(row["ilen"] + row["dlen"]
@@ -544,8 +690,8 @@ def spark_read_orc(spark, paths: list[str]):
                 arrays = [
                     _decode_column(stripe_buf, sf, cid, types[cid],
                                    row["rows"], comp, types)
-                    for cid in col_ids]
-                out = pa.RecordBatch.from_arrays(arrays, names=names)
+                    for cid in sel_ids]
+                out = pa.RecordBatch.from_arrays(arrays, names=sel_names)
                 yield out.cast(sample_schema) \
                     if out.schema != sample_schema else out
 

@@ -52,6 +52,20 @@ def main(sf_dir: str, only: list[str]) -> int:
             failures += 1
             continue
         if name not in oracles:
+            # structural self-verification: a rows-only query that carries a
+            # beats_zlib column asserts its own invariant — any false row is
+            # a hard failure (codec_selection: chosen codec must be <= the
+            # framed-zlib trial on every stripe)
+            if "beats_zlib" in got.columns:
+                if not bool(got["beats_zlib"].all()):
+                    bad = got[~got["beats_zlib"]]
+                    print(f"FAIL {name}: beats_zlib false for "
+                          f"{len(bad)} group(s):\n{bad.to_string()}")
+                    failures += 1
+                    continue
+                print(f"ok   {name}: rows-only ({len(got)} rows), "
+                      f"beats_zlib all-true")
+                continue
             print(f"ok   {name}: rows-only ({len(got)} rows)")
             continue
         exp = con.execute(oracles[name]).fetchdf()

@@ -273,3 +273,35 @@ def test_fingerprint_short_docs_vectorized_pinned(spark):
     for i, t in enumerate(texts[:4]):  # the genuinely-short docs
         assert out["fingerprint"][i] == loop_fp(t), t
     assert out["fingerprint"][0] == -(1 << 62)  # empty doc sentinel
+
+
+def test_ann_index_persisted_probe_prunes_partitions(spark, emb, tmp_path):
+    """build_ann_index persists bucket-partitioned parquet; lsh_topk over
+    the loaded index must (a) match the transient-path results, (b) carry a
+    bucket PartitionFilter in the scan — i.e. the probe reads only probed
+    bucket partitions, not the full corpus."""
+    path = str(tmp_path / "ann_index")
+    index = similarity.build_ann_index(emb, path, n_planes=6, seed=42)
+    assert "bucket" in index.columns
+
+    pdf = emb.orderBy("vec_id").limit(1).toPandas()
+    q = [float(x) for x in pdf["embedding"][0]]
+    got = similarity.probe_ann_index(spark, path, q, k=10, n_probes=4)
+    transient = similarity.lsh_topk(emb, q, k=10, n_planes=6, n_probes=4)
+    assert (got.toPandas()["vec_id"].tolist()
+            == transient.toPandas()["vec_id"].tolist())
+
+    # partition pruning is visible in the physical plan of the probe's scan
+    index2, meta = similarity.load_ann_index(spark, path)
+    planes = similarity._planes(int(meta["n_planes"]), int(meta["dim"]),
+                                int(meta["seed"]))
+    probe = similarity._probe_buckets(q, planes, 4)
+    cand = index2.where(F.col("bucket").isin(probe))
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:400], plan
+    # and the pruned scan touches fewer partition directories than exist
+    import os
+    n_parts = len([d for d in os.listdir(path) if d.startswith("bucket=")])
+    assert n_parts > len(probe), "corpus too concentrated to prove pruning"
