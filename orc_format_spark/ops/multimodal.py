@@ -50,13 +50,32 @@ def make_fake_blob(blob_id: int, kind: int = 0, width: int = 8, height: int = 6,
     return header + payload.tobytes()
 
 
+def _pil():
+    """Feature probe: the real image codec, when this host has one.
+    Returns the PIL.Image module or None (this container has none)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
-    """Decode one image blob to (h, w, c) uint8. Real codecs are unavailable
-    in this container — only the deterministic fake format is implemented."""
+    """Decode one image blob to (h, w, c) uint8. ``fake=True`` always uses
+    the deterministic 16-byte-header fake format; otherwise a real codec is
+    probed at call time (PIL, when installed) and the loud stub error only
+    remains on hosts without one (see README's unsupported-feature matrix)."""
     if not fake:
-        raise NotImplementedError(
-            "real image decoding requires an image library not present in "
-            "this environment; pass fake=True for the deterministic stub")
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "real image decoding requires an image library (e.g. "
+                "Pillow) not present in this environment; pass fake=True "
+                "for the deterministic stub — see README 'Unsupported "
+                "features'")
+        import io
+        arr = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        return np.ascontiguousarray(arr)
     if blob[:4] != MAGIC:
         raise ValueError("bad magic")
     kind, width, height, channels = struct.unpack("<BIIB", blob[4:14])
@@ -121,10 +140,39 @@ def image_features(df: DataFrame, blob_col: str = "blob",
     per (w,h,c) shape group. Batch shape note: blobs can be MBs — keep
     Arrow batches small via ``spark.sql.execution.arrow.maxRecordsPerBatch``
     and pre-repartition by size at real scale."""
-    if not fake:
+    if not fake and _pil() is None:
         raise NotImplementedError(
-            "real image decoding requires an image library not present in "
-            "this environment; pass fake=True for the deterministic stub")
+            "real image decoding requires an image library (e.g. Pillow) "
+            "not present in this environment; pass fake=True for the "
+            "deterministic stub — see README 'Unsupported features'")
+    if not fake:
+        # real-codec path (active on hosts with Pillow): decode per blob —
+        # real formats decode one image at a time; the batch loop stays,
+        # the arithmetic is numpy per image
+        def feats_real(batches: Iterator[pa.RecordBatch]
+                       ) -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                ids = np.asarray(b.column(0).cast(pa.int64()))
+                blobs = b.column(1).to_pylist()
+                means, stds, moffs = [], [], [0]
+                for blob in blobs:
+                    img = decode_image(blob).astype(np.float64)
+                    means.extend(img.reshape(-1, img.shape[2]).mean(axis=0))
+                    stds.append(img.std())
+                    moffs.append(len(means))
+                yield pa.RecordBatch.from_arrays([
+                    pa.array(ids),
+                    pa.ListArray.from_arrays(
+                        pa.array(moffs, type=pa.int32()),
+                        pa.array(np.asarray(means))),
+                    pa.array(np.asarray(stds)),
+                ], names=["blob_id", "channel_means", "pixel_std"])
+
+        return df.select(F.col(id_col), F.col(blob_col)).mapInArrow(
+            feats_real, schema="blob_id long, channel_means array<double>, "
+                               "pixel_std double")
 
     def feats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

@@ -280,7 +280,9 @@ def _decompress(buf: bytes, compression: int) -> bytes:
         from .codecs import lz77
         return _framed(bytes(buf), lz77.lz4_decompress)
     raise NotImplementedError(
-        f"ORC compression kind {compression} (NONE/ZLIB/SNAPPY/LZ4 in this env)")
+        f"ORC compression kind {compression}: only NONE/ZLIB/SNAPPY/LZ4 are "
+        "supported (LZO/ZSTD have no validating producer in this "
+        "environment — see README 'Unsupported features')")
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +406,8 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
             pa.array(offs, type=pa.int32()), children)
         if valid is not None:
             raise NotImplementedError(
-                "nullable union slots are not supported by this reader")
+                "nullable union slots are not supported by this reader "
+                "(see README 'Unsupported features')")
         return vals_arr
 
     if kind == "boolean":
@@ -621,6 +624,51 @@ def _plan_stripes(paths: list[str], predicate=None):
                           si["dataLength"], si["footerLength"],
                           si["numberOfRows"]))
     return plans, meta, names0, types0, n_pruned
+
+
+def _parse_row_index(buf: bytes) -> list[dict]:
+    """RowIndex: repeated RowIndexEntry entry=1; RowIndexEntry: packed
+    uint64 positions=1, ColumnStatistics statistics=2."""
+    entries = []
+    for f, _, v in _pb_fields(buf):
+        if f == 1:
+            e = {"positions": [], "stats": None}
+            for f2, _, v2 in _pb_fields(v):
+                if f2 == 1:
+                    e["positions"].extend(_pb_packed_uints(v2))
+                elif f2 == 2:
+                    e["stats"] = _parse_column_stats(v2)
+            entries.append(e)
+    return entries
+
+
+def read_row_index(path: str) -> list[dict[int, list[dict]]]:
+    """Per stripe: {column_id: [RowIndexEntry dicts]} parsed from the
+    stripe's ROW_INDEX streams (positions + per-row-group statistics)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    ps_len = raw[-1]
+    ps = _parse_postscript(raw[-1 - ps_len:-1])
+    comp = ps["compression"]
+    f_end = len(raw) - 1 - ps_len
+    footer = _parse_footer(
+        _decompress(raw[f_end - ps["footerLength"]:f_end], comp))
+    out = []
+    for si in footer["stripes"]:
+        off, ilen, dlen, flen = (si["offset"], si.get("indexLength", 0),
+                                 si["dataLength"], si["footerLength"])
+        sf = _parse_stripe_footer(
+            _decompress(raw[off + ilen + dlen:off + ilen + dlen + flen],
+                        comp))
+        per: dict[int, list[dict]] = {}
+        pos = 0
+        for s in sf["streams"]:
+            if s["kind"] == ROW_INDEX:
+                per[s["column"]] = _parse_row_index(
+                    _decompress(raw[off + pos:off + pos + s["length"]], comp))
+            pos += s["length"]
+        out.append(per)
+    return out
 
 
 def _select_fields(col_ids: list, names: list, columns):

@@ -63,6 +63,116 @@ def _pb_packed(field: int, values: list[int]) -> bytes:
     return _pb_bytes(field, body)
 
 
+def _pb_zigzag(field: int, value: int) -> bytes:
+    """sint64/sint32 field (zigzag varint)."""
+    return varint.encode_unsigned((field << 3) | 0) + varint.encode_unsigned(
+        (value << 1) ^ (value >> 63) if value >= 0 else ((-value) << 1) - 1)
+
+
+def _pb_fixed64(field: int, raw8: bytes) -> bytes:
+    return varint.encode_unsigned((field << 3) | 1) + raw8
+
+
+# ---------------------------------------------------------------------------
+# ColumnStatistics (public orc_proto): numberOfValues=1, intStatistics=2
+# (sint64 min=1/max=2), doubleStatistics=3 (double min=1/max=2),
+# stringStatistics=4 (bytes min=1/max=2), dateStatistics=7 (sint32
+# min=1/max=2), timestampStatistics=9 (ms; minimumUtc=3/maximumUtc=4),
+# hasNull=10 — the row-group/stripe stats model the reference declares in
+# src/proto.rs:88-99.
+# ---------------------------------------------------------------------------
+
+
+def _column_stats(arr: pa.Array, kind: int) -> dict:
+    """Writer-side stats for one column slice (stride group or stripe)."""
+    import pyarrow.compute as pc
+    st = {"n": len(arr) - arr.null_count, "has_null": arr.null_count > 0,
+          "kind": None, "min": None, "max": None}
+    if st["n"] == 0:
+        return st
+    try:
+        if kind in (1, 2, 3, 4):          # byte/short/int/long
+            mm = pc.min_max(arr).as_py()
+            st.update(kind="int", min=int(mm["min"]), max=int(mm["max"]))
+        elif kind in (5, 6):              # float/double
+            mm = pc.min_max(arr).as_py()
+            if mm["min"] is not None and np.isfinite([mm["min"], mm["max"]]).all():
+                st.update(kind="double", min=float(mm["min"]),
+                          max=float(mm["max"]))
+        elif kind in (7, 16, 17):         # string/varchar/char
+            mm = pc.min_max(arr).as_py()
+            st.update(kind="string", min=str(mm["min"]), max=str(mm["max"]))
+        elif kind == 15:                  # date (days)
+            mm = pc.min_max(arr.cast(pa.int32())).as_py()
+            st.update(kind="date", min=int(mm["min"]), max=int(mm["max"]))
+        elif kind == 9:                   # timestamp -> UTC millis
+            mm = pc.min_max(arr.cast(pa.int64())).as_py()
+            # floor the min / ceil the max so the bounds stay valid for
+            # pruning despite the us -> ms truncation
+            st.update(kind="timestamp_ms_utc", min=int(mm["min"]) // 1000,
+                      max=-(-int(mm["max"]) // 1000))
+    except pa.ArrowNotImplementedError:
+        pass
+    return st
+
+
+def _merge_stats(a: dict, b: dict) -> dict:
+    out = {"n": a["n"] + b["n"], "has_null": a["has_null"] or b["has_null"],
+           "kind": a["kind"] or b["kind"], "min": a["min"], "max": a["max"]}
+    if b["min"] is not None:
+        out["min"] = b["min"] if a["min"] is None else min(a["min"], b["min"])
+    if b["max"] is not None:
+        out["max"] = b["max"] if a["max"] is None else max(a["max"], b["max"])
+    return out
+
+
+def _pb_stats(st: dict) -> bytes:
+    body = _pb_varint(1, int(st["n"]))
+    if st.get("min") is not None and st.get("kind"):
+        k = st["kind"]
+        if k == "int":
+            body += _pb_bytes(2, _pb_zigzag(1, st["min"])
+                              + _pb_zigzag(2, st["max"]))
+        elif k == "double":
+            body += _pb_bytes(3, _pb_fixed64(
+                1, np.float64(st["min"]).tobytes())
+                + _pb_fixed64(2, np.float64(st["max"]).tobytes()))
+        elif k == "string":
+            body += _pb_bytes(4, _pb_bytes(1, st["min"].encode("utf-8"))
+                              + _pb_bytes(2, st["max"].encode("utf-8")))
+        elif k == "date":
+            body += _pb_bytes(7, _pb_zigzag(1, st["min"])
+                              + _pb_zigzag(2, st["max"]))
+        elif k == "timestamp_ms_utc":
+            # writerTimezone is UTC, so writer-tz (1,2) == UTC (3,4)
+            body += _pb_bytes(9, _pb_zigzag(1, st["min"])
+                              + _pb_zigzag(2, st["max"])
+                              + _pb_zigzag(3, st["min"])
+                              + _pb_zigzag(4, st["max"]))
+    body += _pb_varint(10, 1 if st["has_null"] else 0)
+    return body
+
+
+def _pos_category(node: dict, stream_kind: int) -> str:
+    """Row-index position shape for a stream: how many codec position
+    values follow the byte/block offset (ORC spec run/bit offsets)."""
+    if stream_kind == PRESENT:
+        return "bool"
+    k = node["kind"]
+    if k == 0:
+        return "bool"                     # boolean DATA
+    if k in (1, _UNION_KIND):
+        return "byte"                     # byte RLE
+    if k in (5, 6):
+        return "raw"                      # raw IEEE floats
+    if k in (7, 8, 16, 17, _DECIMAL_KIND):
+        return "raw" if stream_kind == DATA else "rle"
+    return "rle"                          # ints/date/ts/lengths/codes
+
+
+_POS_SUFFIX = {"raw": 0, "byte": 1, "rle": 1, "bool": 2}
+
+
 # ---------------------------------------------------------------------------
 # column stream encoders (reuse the engine codecs)
 # ---------------------------------------------------------------------------
@@ -92,8 +202,11 @@ def _encode_timestamp(nn: pa.Array) -> tuple[bytes, bytes]:
     return data, secondary
 
 
-def _encode_column(arr: pa.Array) -> tuple[dict[int, bytes], dict]:
-    """-> ({stream kind: raw bytes}, column encoding dict)."""
+def _encode_column(arr: pa.Array,
+                   no_dict: bool = False) -> tuple[dict[int, bytes], dict]:
+    """-> ({stream kind: raw bytes}, column encoding dict). ``no_dict``
+    forces direct string encoding (row-index files: one dictionary per
+    stripe cannot be assembled from per-stride encodes)."""
     t = str(arr.type)
     enc = {"kind": DIRECT_V2, "dictionarySize": 0}
     streams: dict[int, bytes] = {}
@@ -142,7 +255,7 @@ def _encode_column(arr: pa.Array) -> tuple[dict[int, bytes], dict]:
     elif t in ("string", "large_string", "binary", "large_binary"):
         binary = "binary" in t
         n = len(nn)
-        if n and not binary:
+        if n and not binary and not no_dict:
             dblob, dlens, codes, ndv = strings.encode_dict(nn)
             use_dict = ndv <= max(n * DICT_THRESHOLD, 1)
         else:
@@ -225,14 +338,22 @@ def _footer_type_tree(nodes: list) -> bytes:
 
 
 def _encode_tree(nodes: list, nid: int, arr: pa.Array,
-                 col_streams: dict, encodings: dict) -> None:
+                 col_streams: dict, encodings: dict,
+                 nvals: dict | None = None, stats: dict | None = None,
+                 no_dict: bool = False) -> None:
     """Encode ``arr`` as column id ``nid`` (and its children, recursively).
     Compound kinds get PRESENT (+LENGTH) here; children record only the
-    slots whose parent value is present — the ORC compound model."""
+    slots whose parent value is present — the ORC compound model.
+    ``nvals``/``stats`` (when given) collect per-column slot counts and
+    ColumnStatistics for the row-index / Metadata sections."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     node = nodes[nid]
     kind = node["kind"]
+    if nvals is not None:
+        nvals[nid] = len(arr)
+    if stats is not None:
+        stats[nid] = _column_stats(arr, kind)
     if kind == _STRUCT_KIND:
         streams = {}
         p = _present_stream(arr)
@@ -242,7 +363,8 @@ def _encode_tree(nodes: list, nid: int, arr: pa.Array,
         col_streams[nid] = streams
         encodings[nid] = {"kind": 0, "dictionarySize": 0}
         for k, cid in enumerate(node["subtypes"]):
-            _encode_tree(nodes, cid, nn.field(k), col_streams, encodings)
+            _encode_tree(nodes, cid, nn.field(k), col_streams, encodings,
+                         nvals, stats, no_dict)
     elif kind in (_LIST_KIND, _MAP_KIND):
         streams = {}
         p = _present_stream(arr)
@@ -256,12 +378,12 @@ def _encode_tree(nodes: list, nid: int, arr: pa.Array,
         encodings[nid] = {"kind": DIRECT_V2, "dictionarySize": 0}
         if kind == _LIST_KIND:
             _encode_tree(nodes, node["subtypes"][0], nn.flatten(),
-                         col_streams, encodings)
+                         col_streams, encodings, nvals, stats, no_dict)
         else:
             _encode_tree(nodes, node["subtypes"][0], nn.keys,
-                         col_streams, encodings)
+                         col_streams, encodings, nvals, stats, no_dict)
             _encode_tree(nodes, node["subtypes"][1], nn.items,
-                         col_streams, encodings)
+                         col_streams, encodings, nvals, stats, no_dict)
     elif kind == _UNION_KIND:
         # ORC union: DATA = tag bytes (byte RLE); child i records values in
         # row order for the slots whose tag is i. Arrow dense unions carry
@@ -270,7 +392,8 @@ def _encode_tree(nodes: list, nid: int, arr: pa.Array,
         streams = {}
         if arr.null_count:
             raise NotImplementedError(
-                "ORC writer: nullable union slots not supported")
+                "ORC writer: nullable union slots not supported "
+                "(see README 'Unsupported features')")
         codes = np.asarray(arr.type_codes)
         code_list = list(arr.type.type_codes)  # child index -> raw code
         code_to_idx = np.zeros(max(code_list) + 1, dtype=np.uint8)
@@ -290,16 +413,38 @@ def _encode_tree(nodes: list, nid: int, arr: pa.Array,
             else:
                 take = sel
             vals = child.take(pa.array(take, type=pa.int64()))
-            _encode_tree(nodes, cid, vals, col_streams, encodings)
+            _encode_tree(nodes, cid, vals, col_streams, encodings,
+                         nvals, stats, no_dict)
     else:
-        streams, enc = _encode_column(arr)
+        streams, enc = _encode_column(arr, no_dict=no_dict)
         col_streams[nid] = streams
         encodings[nid] = enc
 
 
+_STREAM_ORDER = (PRESENT, DATA, LENGTH, DICTIONARY_DATA, SECONDARY)
+ROW_INDEX_KIND = 6
+
+
 def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
-                    stripe_rows: int = 65_536) -> bytes:
-    """Encode a pyarrow Table to ORC file bytes."""
+                    stripe_rows: int = 65_536,
+                    row_index_stride: int = 0) -> bytes:
+    """Encode a pyarrow Table to ORC file bytes.
+
+    ``row_index_stride`` > 0 additionally emits per-stripe ROW_INDEX
+    streams (RowIndexEntry positions + per-stride ColumnStatistics, the
+    RowIndex model the reference declares in src/proto.rs:88-99) so OTHER
+    readers can skip row groups inside our files. Implementation: each
+    column's streams are encoded per stride group and concatenated, with
+    each group compressed as its own chunk run — so every group starts at
+    a compressed-chunk boundary and positions are exact
+    (block_offset, 0[, run 0[, bit 0]]). Strings are forced to DirectV2
+    under a row index (a stripe-global dictionary cannot be assembled from
+    independent per-stride encodes).
+
+    The Metadata section (per-stripe StripeStatistics) and the Footer's
+    file-level statistics are always written, so stripe pruning works on
+    our files through any stats-aware reader (including
+    orc_reader.spark_read_orc's predicate hint)."""
     comp_kind = {"none": 0, "uncompressed": 0, "zlib": 1}[compression]
 
     def section(raw: bytes) -> bytes:
@@ -308,24 +453,90 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
     nodes = _build_type_nodes(tbl.schema)
     out = bytearray(MAGIC)
     stripe_infos = []
+    all_stripe_stats = []     # per stripe: {cid: merged stats}
     for lo in range(0, max(tbl.num_rows, 1), stripe_rows):
         chunk = tbl.slice(lo, min(stripe_rows, tbl.num_rows - lo))
         if chunk.num_rows == 0 and tbl.num_rows > 0:
             break
         offset = len(out)
-        col_streams: dict[int, dict[int, bytes]] = {0: {}}
-        enc_by_id: dict[int, dict] = {0: {"kind": 0, "dictionarySize": 0}}
-        for ci, name in enumerate(chunk.column_names):
-            _encode_tree(nodes, nodes[0]["subtypes"][ci],
-                         chunk.column(name), col_streams, enc_by_id)
+        stride = row_index_stride or max(chunk.num_rows, 1)
+        n_groups = max((chunk.num_rows + stride - 1) // stride, 1)
+
+        # encode each stride group independently (one group == old behavior)
+        group_streams: list[dict] = []   # [ {cid: {kind: raw bytes}} ]
+        group_stats: list[dict] = []     # [ {cid: stats} ]
+        group_nvals: list[dict] = []     # [ {cid: slot count} ]
+        enc_by_id: dict[int, dict] = {}
+        for g in range(n_groups):
+            gs = chunk.slice(g * stride, min(stride, chunk.num_rows - g * stride))
+            cs: dict[int, dict[int, bytes]] = {0: {}}
+            eb: dict[int, dict] = {0: {"kind": 0, "dictionarySize": 0}}
+            nv: dict[int, int] = {0: gs.num_rows}
+            st: dict[int, dict] = {0: {"n": gs.num_rows, "has_null": False,
+                                       "kind": None, "min": None, "max": None}}
+            for ci, name in enumerate(gs.column_names):
+                _encode_tree(nodes, nodes[0]["subtypes"][ci], gs.column(name),
+                             cs, eb, nv, st,
+                             no_dict=bool(row_index_stride))
+            group_streams.append(cs)
+            group_stats.append(st)
+            group_nvals.append(nv)
+            enc_by_id = eb               # identical across groups by design
+        # PRESENT must cover every group once any group needs it — a group
+        # with no nulls still contributes its all-true bits
+        present_cids = {cid for cs in group_streams
+                        for cid in cs if PRESENT in cs[cid]}
+        for cs, nv in zip(group_streams, group_nvals):
+            for cid in present_cids:
+                if PRESENT not in cs.get(cid, {}):
+                    cs.setdefault(cid, {})[PRESENT] = boolean_rle.encode_bools(
+                        np.ones(nv.get(cid, 0), dtype=bool))
+
+        cids = sorted({c for cs in group_streams for c in cs})
+        # concatenate per (cid, kind); each group section()ed independently
+        # so groups start at compressed-chunk boundaries
+        parts: dict[tuple[int, int], list[bytes]] = {}
+        for cid in cids:
+            for kind in _STREAM_ORDER:
+                if any(kind in cs.get(cid, {}) for cs in group_streams):
+                    parts[(cid, kind)] = [
+                        section(cs.get(cid, {}).get(kind, b""))
+                        for cs in group_streams]
+
         stream_meta = []          # (kind, column_id, length)
+        index_bytes = bytearray()
+        if row_index_stride:
+            for cid in cids:
+                entries = b""
+                for g in range(n_groups):
+                    positions: list[int] = []
+                    for kind in _STREAM_ORDER:
+                        if kind == DICTIONARY_DATA or (cid, kind) not in parts:
+                            continue
+                        comp_off = sum(len(p) for p in parts[(cid, kind)][:g])
+                        positions.append(comp_off)
+                        if comp_kind:
+                            positions.append(0)   # offset in decompressed chunk
+                        positions.extend(
+                            [0] * _POS_SUFFIX[_pos_category(nodes[cid], kind)])
+                    entry = _pb_packed(1, positions)
+                    entry += _pb_bytes(2, _pb_stats(
+                        group_stats[g].get(cid, {"n": 0, "has_null": False,
+                                                 "kind": None, "min": None,
+                                                 "max": None})))
+                    entries += _pb_bytes(1, entry)
+                ri = section(entries)
+                stream_meta.append((ROW_INDEX_KIND, cid, len(ri)))
+                index_bytes += ri
+
         data = bytearray()
-        for cid in sorted(col_streams):
-            for kind in (PRESENT, DATA, LENGTH, DICTIONARY_DATA, SECONDARY):
-                if kind in col_streams[cid]:
-                    payload = section(col_streams[cid][kind])
+        for cid in cids:
+            for kind in _STREAM_ORDER:
+                if (cid, kind) in parts:
+                    payload = b"".join(parts[(cid, kind)])
                     stream_meta.append((kind, cid, len(payload)))
                     data += payload
+        out += index_bytes
         out += data
         sf = b""
         for kind, col_id, length in stream_meta:
@@ -341,13 +552,32 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
         sf_bytes = section(sf)
         out += sf_bytes
         stripe_infos.append({
-            "offset": offset, "indexLength": 0,
+            "offset": offset, "indexLength": len(index_bytes),
             "dataLength": len(data), "footerLength": len(sf_bytes),
             "numberOfRows": chunk.num_rows,
         })
+        merged: dict[int, dict] = {}
+        for st in group_stats:
+            for cid, s in st.items():
+                merged[cid] = _merge_stats(merged[cid], s) if cid in merged else s
+        all_stripe_stats.append(merged)
+
+    content_len = len(out)
+
+    # Metadata section: per-stripe StripeStatistics (field 1), each a
+    # repeated ColumnStatistics in column-id order
+    metadata = b""
+    for merged in all_stripe_stats:
+        body = b"".join(_pb_bytes(1, _pb_stats(
+            merged.get(cid, {"n": 0, "has_null": False, "kind": None,
+                             "min": None, "max": None})))
+            for cid in range(len(nodes)))
+        metadata += _pb_bytes(1, body)
+    metadata_bytes = section(metadata) if all_stripe_stats else b""
+    out += metadata_bytes
 
     footer = _pb_varint(1, 3)  # headerLength = len(MAGIC)
-    footer += _pb_varint(2, len(out))  # contentLength
+    footer += _pb_varint(2, content_len)  # contentLength
     for si in stripe_infos:
         body = (_pb_varint(1, si["offset"]) + _pb_varint(2, si["indexLength"])
                 + _pb_varint(3, si["dataLength"])
@@ -356,7 +586,17 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
         footer += _pb_bytes(3, body)
     footer += _footer_type_tree(nodes)
     footer += _pb_varint(6, tbl.num_rows)
-    footer += _pb_varint(8, 0)  # rowIndexStride = 0 (no row index written)
+    # file-level statistics (field 7), merged across stripes
+    file_stats: dict[int, dict] = {}
+    for merged in all_stripe_stats:
+        for cid, s in merged.items():
+            file_stats[cid] = (_merge_stats(file_stats[cid], s)
+                               if cid in file_stats else s)
+    for cid in range(len(nodes)):
+        footer += _pb_bytes(7, _pb_stats(
+            file_stats.get(cid, {"n": 0, "has_null": False, "kind": None,
+                                 "min": None, "max": None})))
+    footer += _pb_varint(8, row_index_stride)
     footer_bytes = section(footer)
     out += footer_bytes
 
@@ -365,7 +605,7 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
     if comp_kind:
         ps += _pb_varint(3, deflate.DEFAULT_BLOCK_SIZE)
     ps += _pb_packed(4, [0, 12])  # version 0.12
-    ps += _pb_varint(5, 0)  # metadataLength
+    ps += _pb_varint(5, len(metadata_bytes))  # metadataLength
     ps += _pb_varint(6, 1)  # writerVersion >= HIVE-8732 (RLEv2 fixed)
     ps += _pb_bytes(8000, MAGIC)
     out += ps
@@ -374,9 +614,10 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
 
 
 def write_orc(tbl: pa.Table, path: str, compression: str = "zlib",
-              stripe_rows: int = 65_536) -> None:
+              stripe_rows: int = 65_536, row_index_stride: int = 0) -> None:
     with open(path, "wb") as f:
-        f.write(write_orc_bytes(tbl, compression, stripe_rows))
+        f.write(write_orc_bytes(tbl, compression, stripe_rows,
+                                row_index_stride))
 
 
 def spark_write_orc(df, out_dir: str, compression: str = "zlib",

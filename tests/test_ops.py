@@ -305,3 +305,29 @@ def test_ann_index_persisted_probe_prunes_partitions(spark, emb, tmp_path):
     import os
     n_parts = len([d for d in os.listdir(path) if d.startswith("bucket=")])
     assert n_parts > len(probe), "corpus too concentrated to prove pruning"
+
+
+def test_multimodal_real_decode_stub_without_pil():
+    """Hosts without an image library keep the loud documented stub."""
+    import importlib
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed — stub inactive")
+    with pytest.raises(NotImplementedError, match="image library"):
+        multimodal.decode_image(b"\x89PNG....")
+
+
+def test_multimodal_real_decode_with_pil(spark):
+    """Feature-probed real codec path: active on any host with Pillow; the
+    fake-format path stays the tested fallback everywhere else."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+    img = Image.new("RGB", (4, 3), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    blob = buf.getvalue()
+    arr = multimodal.decode_image(blob)
+    assert arr.shape == (3, 4, 3) and (arr[0, 0] == [10, 20, 30]).all()
+    df = spark.createDataFrame(pd.DataFrame({"blob_id": [1], "blob": [blob]}))
+    out = multimodal.image_features(df, fake=False).toPandas()
+    assert list(out["channel_means"][0]) == [10.0, 20.0, 30.0]
+    assert out["pixel_std"][0] > 0

@@ -103,3 +103,97 @@ def test_spark_write_orc_distributed(spark, tmp_path):
     total = pa.concat_tables(parts)
     assert total.num_rows == 10_000
     assert sorted(total["id"].to_pylist()) == list(range(10_000))
+
+
+def test_row_index_streams_and_stride_stats(tmp_path):
+    """row_index_stride>0: ROW_INDEX streams (RowIndexEntry positions +
+    per-stride ColumnStatistics, the RowIndex model of src/proto.rs:88-99)
+    are emitted per stripe; the Apache C++ reader consumes the file whole,
+    and stride-level stats round-trip exactly. Nulls force an all-true
+    PRESENT contribution from null-free groups; nested columns index too."""
+    import io
+    import pyarrow.orc as po
+    n = 5000
+    rng = np.random.default_rng(3)
+    tbl = pa.table({
+        "a": pa.array(np.arange(n)),
+        "s": pa.array([f"doc-{i % 37}-{i}" for i in range(n)]),
+        "d": pa.array(rng.standard_normal(n)),
+        "m": pa.array([None if i % 7 == 0 else i * 2 for i in range(n)],
+                      type=pa.int64()),
+        "ls": pa.array([[i, i + 1] if i % 3 else None for i in range(n)],
+                       type=pa.list_(pa.int64())),
+    })
+    p = str(tmp_path / "ri.orc")
+    orc_writer.write_orc(tbl, p, stripe_rows=2500, row_index_stride=1000)
+
+    raw = open(p, "rb").read()
+    ap = po.ORCFile(io.BytesIO(raw)).read()
+    for c in tbl.column_names:
+        assert ap.column(c).combine_chunks().cast(
+            tbl.column(c).type).equals(tbl.column(c).combine_chunks()), c
+    back = orc_reader.read_orc_bytes(raw)
+    for c in tbl.column_names:
+        assert back.column(c).combine_chunks().cast(
+            tbl.column(c).type).equals(tbl.column(c).combine_chunks()), c
+
+    ri = orc_reader.read_row_index(p)
+    assert len(ri) == 2                      # 2 stripes
+    for stripe_idx, per in enumerate(ri):
+        base = stripe_idx * 2500
+        ent = per[1]                         # column "a" (cid 1)
+        assert len(ent) == 3                 # 1000,1000,500 strides
+        for g, e in enumerate(ent):
+            lo = base + g * 1000
+            hi = base + min((g + 1) * 1000, 2500) - 1
+            assert e["stats"]["kind"] == "int"
+            assert e["stats"]["min"] == lo and e["stats"]["max"] == hi
+            assert e["positions"][0] >= 0    # block offsets monotone
+        offs = [e["positions"][0] for e in ent]
+        assert offs == sorted(offs) and offs[0] == 0
+        # nullable column: numberOfValues excludes nulls, hasNull set
+        ment = per[4]
+        assert any(e["stats"]["has_null"] for e in ment)
+        assert sum(e["stats"]["n"] for e in ment) == 2500 - sum(
+            1 for i in range(base, base + 2500) if i % 7 == 0)
+
+    # positions point at compressed-chunk starts: decoding column "a" from
+    # a mid-stripe row group using only the index must reproduce the values
+    from orc_format_spark.codecs import deflate, rle_v2
+    ps, footer = orc_reader.read_tail(p)
+    si = footer["stripes"][0]
+    sf = orc_reader._parse_stripe_footer(orc_reader._decompress(
+        raw[si["offset"] + si["indexLength"] + si["dataLength"]:
+            si["offset"] + si["indexLength"] + si["dataLength"]
+            + si["footerLength"]], ps["compression"]))
+    pos = 0
+    a_data = None
+    for s in sf["streams"]:
+        if s["kind"] == orc_reader.DATA and s["column"] == 1:
+            a_data = raw[si["offset"] + pos:si["offset"] + pos + s["length"]]
+        pos += s["length"]
+    e2 = ri[0][1][2]                         # third row group of stripe 0
+    block_off = e2["positions"][0]
+    vals = rle_v2.decode(deflate.decompress(a_data[block_off:]), 500,
+                         signed=True)
+    assert vals.tolist() == list(range(2000, 2500))
+
+
+def test_our_files_carry_stripe_stats_for_pruning(tmp_path, spark):
+    """The writer always emits the Metadata section (StripeStatistics), so
+    spark_read_orc's predicate hint prunes stripes of OUR OWN files."""
+    n = 20_000
+    tbl = pa.table({"id": pa.array(np.arange(n)),
+                    "v": pa.array(np.arange(n) % 100)})
+    p = str(tmp_path / "ours.orc")
+    orc_writer.write_orc(tbl, p, stripe_rows=4000)
+    _, footer, stats = orc_reader.read_tail(p, with_stats=True)
+    assert len(stats) == len(footer["stripes"]) == 5
+    assert stats[2][1]["min"] == 8000 and stats[2][1]["max"] == 11999
+    plans, _, _, _, n_pruned = orc_reader._plan_stripes(
+        [p], ("id", "=", 9500))
+    assert len(plans) == 1 and n_pruned == 4
+    from pyspark.sql import functions as F
+    df = orc_reader.spark_read_orc(spark, [p], predicate=("id", "=", 9500))
+    got = df.filter(F.col("id") == 9500).collect()
+    assert len(got) == 1 and got[0]["v"] == 9500 % 100
