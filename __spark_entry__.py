@@ -235,6 +235,31 @@ def q_orc_file_roundtrip(spark, sf_dir):
                      F.element_at("words", -1).alias("last_word"))
 
 
+def q_orc_pruned_read(spark, sf_dir):
+    """Round-4 ORC read-path features in one oracle-checked query: events
+    written to a multi-stripe .orc WITH a row index (row_index_stride=500,
+    per-stride positions + statistics), read back via spark_read_orc with
+    COLUMN PRUNING (only event_id/event_type streams decode) and a
+    STRIPE-PRUNING predicate hint (Metadata StripeStatistics skip stripes
+    that cannot contain the range); the residual filter keeps values exact."""
+    _pin(spark)
+    import tempfile, os
+    import pyarrow.parquet as pq
+    from orc_format_spark import orc_reader, orc_writer
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "event_type",
+                                 "value"])
+    tbl = tbl.sort_by("event_id")
+    path = os.path.join(tempfile.mkdtemp(prefix="orcpr"), "events.orc")
+    orc_writer.write_orc(tbl, path, compression="zlib", stripe_rows=2000,
+                         row_index_stride=500)
+    lo, hi = 3000, 3199
+    df = orc_reader.spark_read_orc(
+        spark, [path], columns=["event_id", "event_type"],
+        predicate=("event_id", "between", (lo, hi)))
+    return df.filter(F.col("event_id").between(lo, hi))
+
+
 def q_rle_delta_event_id(spark, sf_dir):
     """Sorted unique int64 -> RLEv2 delta path."""
     _pin(spark)
@@ -565,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_binary": q_roundtrip_binary,
         "roundtrip_decimal": q_roundtrip_decimal,
         "orc_file_roundtrip": q_orc_file_roundtrip,
+        "orc_pruned_read": q_orc_pruned_read,
         "roundtrip_nested": q_roundtrip_nested,
         "roundtrip_tool_calls": q_roundtrip_tool_calls,
         "roundtrip_map": q_roundtrip_map,
@@ -608,6 +634,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) "
             "AS pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings",
         "roundtrip_binary": "SELECT doc_id, text FROM documents",
+        "orc_pruned_read":
+            "SELECT event_id, event_type FROM events "
+            "WHERE event_id BETWEEN 3000 AND 3199",
         "orc_file_roundtrip":
             "SELECT doc_id, text, lang, n_chars, "
             "CAST(LEN(string_split(text, ' ')) AS INT) AS n_words, "

@@ -264,11 +264,19 @@ def _framed(buf: bytes, inner) -> bytes:
     return bytes(out)
 
 
+def _zstd_decompress(chunk: bytes) -> bytes:
+    """One raw ZSTD frame via pyarrow's bundled codec (streaming read — the
+    frame header does not always carry the content size)."""
+    import pyarrow as _pa
+    return _pa.input_stream(_pa.py_buffer(chunk), compression="zstd").read()
+
+
 def _decompress(buf: bytes, compression: int) -> bytes:
     """ORC section decompression: NONE(0) passthrough; ZLIB(1) raw DEFLATE,
-    SNAPPY(2) and LZ4(4) via our pure-Python block decoders — all under the
-    3-byte is-original chunk framing. The reference `todo!()`s SNAPPY/LZO
-    (decompress/mod.rs:80-88); LZO(3) and ZSTD(5) still raise here."""
+    SNAPPY(2) and LZ4(4) via our pure-Python block decoders, ZSTD(5) via
+    pyarrow's bundled codec — all under the 3-byte is-original chunk
+    framing. The reference `todo!()`s SNAPPY/LZO (decompress/mod.rs:80-88);
+    LZO(3) still raises here (no producer or library in this environment)."""
     if compression == 0:
         return bytes(buf)
     if compression == 1:
@@ -279,9 +287,11 @@ def _decompress(buf: bytes, compression: int) -> bytes:
     if compression == 4:
         from .codecs import lz77
         return _framed(bytes(buf), lz77.lz4_decompress)
+    if compression == 5:
+        return _framed(bytes(buf), _zstd_decompress)
     raise NotImplementedError(
-        f"ORC compression kind {compression}: only NONE/ZLIB/SNAPPY/LZ4 are "
-        "supported (LZO/ZSTD have no validating producer in this "
+        f"ORC compression kind {compression}: only NONE/ZLIB/SNAPPY/LZ4/ZSTD "
+        "are supported (LZO has no validating producer or library in this "
         "environment — see README 'Unsupported features')")
 
 

@@ -621,7 +621,8 @@ def write_orc(tbl: pa.Table, path: str, compression: str = "zlib",
 
 
 def spark_write_orc(df, out_dir: str, compression: str = "zlib",
-                    stripe_rows: int = 65_536) -> int:
+                    stripe_rows: int = 65_536,
+                    row_index_stride: int = 0) -> int:
     """Distributed ORC write: each task writes one .orc file via THIS
     writer (real ORC output consumable by any Apache reader). Returns the
     number of files written."""
@@ -638,7 +639,7 @@ def spark_write_orc(df, out_dir: str, compression: str = "zlib",
             if t.num_rows:
                 write_orc(t, os.path.join(
                     out_dir, f"part-{_uuid.uuid4().hex[:12]}.orc"),
-                    compression, stripe_rows)
+                    compression, stripe_rows, row_index_stride)
                 n = 1
         yield _pa.RecordBatch.from_arrays(
             [_pa.array([n], type=_pa.int64())], names=["files"])

@@ -344,11 +344,12 @@ def test_union_column_roundtrip_and_apache_reads_ours():
     assert ap.column("u").combine_chunks().to_pylist() == u.to_pylist()
 
 
-@pytest.mark.parametrize("comp", ["snappy", "lz4"])
+@pytest.mark.parametrize("comp", ["snappy", "lz4", "zstd"])
 def test_snappy_and_lz4_orc_files_decode(tmp_path, comp):
     """SNAPPY(2)/LZ4(4) section compression — `todo!()` in the reference
-    (decompress/mod.rs:80-88) — via pure-Python block decoders under the
-    same 3-byte chunk framing, validated against the Apache C++ writer."""
+    (decompress/mod.rs:80-88) — via pure-Python block decoders, and ZSTD(5)
+    via pyarrow's bundled codec, all under the same 3-byte chunk framing,
+    validated against the Apache C++ writer."""
     n = 50_000
     tbl = pa.table({
         "i": pa.array(np.arange(n)),
