@@ -156,8 +156,11 @@ def _plan_patched(v: np.ndarray, signed: bool):
     reduced = (vi.astype(np.int64) - base).astype(np.uint64)
     widths = bitpack.element_widths(reduced)
     w_max = int(widths.max())
-    # candidate W = 90th-percentile aligned width
-    w90 = int(np.percentile(widths, 90, method="lower"))
+    # candidate W = 90th-percentile aligned width. np.partition selects the
+    # same element np.percentile(..., method="lower") would: sorted[k] with
+    # k = floor(0.90 * (L-1)) — O(L) instead of a full sort + float path
+    k = int(0.90 * (L - 1))
+    w90 = int(np.partition(widths, k)[k])
     w90 = bitpack.round_width(w90)
     if w90 >= w_max:
         return None
