@@ -31,6 +31,12 @@ MAX_SYMBOLS = 255  # codes 0..254
 MAX_LEN = 8
 _ITERATIONS = 5
 _SAMPLE = 1 << 15
+# multiply-shift hash multipliers (odd 64-bit constants from the public
+# splitmix64/xxhash/murmur finalizers) tried in order until injective over
+# a length's symbol keys — single-probe exact lookup in match_all
+_HASH_MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD,
+               0x2545F4914F6CDD1D, 0xD6E8FEB86659FD93, 0xA24BAED4963EE407,
+               0x9FB21C651E98DF25, 0xB492B66FBE98F273)
 
 _POW256 = (np.uint64(256) ** np.arange(7, -1, -1, dtype=np.uint64))
 
@@ -82,6 +88,7 @@ class SymbolTable:
         self.symbols = symbols
         # per length: sorted key array + code array (for searchsorted)
         self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._lookup: dict[int, tuple] = {}
         for L in range(1, MAX_LEN + 1):
             pairs = [(_sym_key(s), c) for c, s in enumerate(symbols) if len(s) == L]
             if pairs:
@@ -100,6 +107,33 @@ class SymbolTable:
                     lut = np.zeros(256, dtype=bool)
                     lut[keys.astype(np.int64)] = True
                 self._by_len[L] = (keys, codes, lut)
+                # exact O(1) lookup replacing searchsorted in match_all —
+                # the match SET is unchanged, only the mechanism:
+                # L<=2: dense table over the gram space; L>=3: single-probe
+                # hash (multiply-shift, multiplier retried until injective
+                # over this length's keys; empty slots carry code -1, so a
+                # gram colliding with the zero-filled key array still
+                # misses). Falls back to searchsorted if no multiplier
+                # works (probability ~1e-7 at 255 keys).
+                if L <= 2:
+                    dlut = np.full(1 << (8 * L), -1, dtype=np.int16)
+                    dlut[keys.astype(np.int64)] = codes.astype(np.int16)
+                    self._lookup[L] = ("direct", dlut)
+                else:
+                    for mult in _HASH_MULTS:
+                        with np.errstate(over="ignore"):
+                            slots = ((keys * np.uint64(mult))
+                                     >> np.uint64(48)).astype(np.int64)
+                        if len(np.unique(slots)) == len(keys):
+                            hkeys = np.zeros(65536, dtype=np.uint64)
+                            hcodes = np.full(65536, -1, dtype=np.int16)
+                            hkeys[slots] = keys
+                            hcodes[slots] = codes.astype(np.int16)
+                            self._lookup[L] = ("hash", hkeys, hcodes,
+                                               np.uint64(mult))
+                            break
+                    else:
+                        self._lookup[L] = ("sorted",)
         # combined prescreen: ONE uint8 bitmask LUT over 2-byte prefixes,
         # bit (L-2) set iff some length-L symbol starts with those 2 bytes —
         # match_all then pays a single O(n) gather instead of one per length
@@ -168,12 +202,26 @@ class SymbolTable:
             # gather-then-convert: only candidate positions pay the
             # unaligned BE load + byteswap
             grams = g[pos].astype(np.uint64) >> np.uint64((8 - L) * 8)
-            idx = np.searchsorted(keys, grams)
-            np.minimum(idx, len(keys) - 1, out=idx)
-            hit = keys[idx] == grams
+            lk = self._lookup[L]
+            if lk[0] == "direct":
+                c = lk[1][grams.astype(np.int64)]
+                hit = c >= 0
+                hit_codes = c[hit]
+            elif lk[0] == "hash":
+                hkeys, hcodes, mult = lk[1], lk[2], lk[3]
+                with np.errstate(over="ignore"):
+                    slot = ((grams * mult) >> np.uint64(48)).astype(np.int64)
+                c = hcodes[slot]
+                hit = (hkeys[slot] == grams) & (c >= 0)
+                hit_codes = c[hit]
+            else:
+                idx = np.searchsorted(keys, grams)
+                np.minimum(idx, len(keys) - 1, out=idx)
+                hit = keys[idx] == grams
+                hit_codes = codes[idx[hit]]
             hp = pos[hit]
             best_len[hp] = L
-            best_code[hp] = codes[idx[hit]]
+            best_code[hp] = hit_codes.astype(np.uint8)
         return best_len, best_code
 
 
