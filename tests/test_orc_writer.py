@@ -197,3 +197,73 @@ def test_our_files_carry_stripe_stats_for_pruning(tmp_path, spark):
     df = orc_reader.spark_read_orc(spark, [p], predicate=("id", "=", 9500))
     got = df.filter(F.col("id") == 9500).collect()
     assert len(got) == 1 and got[0]["v"] == 9500 % 100
+
+
+@pytest.mark.parametrize("seed", [901, 913])
+def test_row_index_fuzz_random_tables(tmp_path, seed):
+    """Random typed tables (nulls everywhere, uneven final stride) with a
+    row index: Apache reads the file whole, our reader matches, and every
+    RowIndexEntry's stats agree with numpy recomputation per stride."""
+    import io
+    import pyarrow.orc as po
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(900, 2600))
+    stride = int(rng.choice([128, 250, 1000]))
+    stripe_rows = int(rng.choice([700, 1500]))
+
+    def maybe_null(vals, typ):
+        mask = rng.random(n) < 0.15
+        return pa.array([None if m else v for v, m in zip(vals, mask)],
+                        type=typ)
+
+    tbl = pa.table({
+        "i": maybe_null(rng.integers(-10**6, 10**6, n).tolist(), pa.int64()),
+        "f": maybe_null(rng.standard_normal(n).tolist(), pa.float64()),
+        "s": maybe_null([f"k{int(v)}" for v in rng.integers(0, 50, n)],
+                        pa.string()),
+    })
+    p = str(tmp_path / "fz.orc")
+    orc_writer.write_orc(tbl, p, stripe_rows=stripe_rows,
+                         row_index_stride=stride)
+    raw = open(p, "rb").read()
+    ap = po.ORCFile(io.BytesIO(raw)).read()
+    back = orc_reader.read_orc_bytes(raw)
+    for c in tbl.column_names:
+        e = tbl.column(c).combine_chunks()
+        assert ap.column(c).combine_chunks().cast(e.type).equals(e), c
+        assert back.column(c).combine_chunks().cast(e.type).equals(e), c
+
+    ri = orc_reader.read_row_index(p)
+    i_vals = tbl.column("i").to_pylist()
+    for s_idx, per in enumerate(ri):
+        base = s_idx * stripe_rows
+        s_rows = min(stripe_rows, n - base)
+        ent = per[1]                      # column "i"
+        assert len(ent) == (s_rows + stride - 1) // stride
+        for g, e in enumerate(ent):
+            seg = [v for v in i_vals[base + g * stride:
+                                     base + min((g + 1) * stride, s_rows)]
+                   if v is not None]
+            if seg:
+                assert e["stats"]["min"] == min(seg), (s_idx, g)
+                assert e["stats"]["max"] == max(seg), (s_idx, g)
+                assert e["stats"]["n"] == len(seg)
+
+
+def test_stripe_pruning_string_predicate(tmp_path):
+    """String-typed ColumnStatistics prune stripes too (lexicographic
+    min/max), and a type-mismatched predicate degrades to no pruning
+    rather than wrong pruning."""
+    n = 8000
+    tbl = pa.table({
+        "k": pa.array([f"key-{i:06d}" for i in range(n)]),
+        "v": pa.array(np.arange(n)),
+    })
+    p = str(tmp_path / "s.orc")
+    orc_writer.write_orc(tbl, p, stripe_rows=2000)
+    plans, _, _, _, pruned = orc_reader._plan_stripes(
+        [p], ("k", "=", "key-005000"))
+    assert pruned == 3 and len(plans) == 1
+    # int value against string stats: TypeError guard => conservative keep
+    plans2, _, _, _, pruned2 = orc_reader._plan_stripes([p], ("k", "=", 42))
+    assert pruned2 == 0 and len(plans2) == 4
