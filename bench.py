@@ -266,7 +266,7 @@ def main() -> None:
     # oracle-suite queries at SF_DIR
     for name in ("roundtrip_events", "roundtrip_lineitem", "fsst_doc_text",
                  "dedup_exact", "text_quality", "ann_topk", "dedup_minhash",
-                 "stride_pruned_lookup", "embedding_dups"):
+                 "stride_pruned_lookup", "embedding_dups", "ann_lsh_topk"):
         fn = entrymod.queries()[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()

@@ -96,17 +96,45 @@ def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
     dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
     planes = _planes(n_planes, dim, seed)
     bucketed = _bucketize(emb, planes, id_col, vec_col)
-    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    spark.createDataFrame(
-        [(int(n_planes), int(seed), int(dim), id_col, vec_col)],
-        "n_planes long, seed long, dim long, id_col string, vec_col string"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_ann_meta")
+    # shuffle by bucket before the partitioned write: one writer task per
+    # bucket => one well-sized file per partition dir instead of
+    # (tasks x buckets) shards — the layout a 100-TB probe wants
+    bucketed.repartition(F.col("bucket")).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path)
+    _write_meta(spark, path, {"n_planes": int(n_planes), "seed": int(seed),
+                              "dim": int(dim), "id_col": id_col,
+                              "vec_col": vec_col})
     return load_ann_index(spark, path)[0]
+
+
+def _write_meta(spark, path: str, meta: dict) -> None:
+    """One-row meta side table. pyarrow writes it driver-side (a 1-row
+    Spark job costs ~2 s of commit-protocol overhead); the Spark writer is
+    the fallback for filesystems pyarrow can't reach."""
+    import pyarrow as pa
+    try:
+        import pyarrow.parquet as pq
+        import os
+        os.makedirs(path + "/_ann_meta", exist_ok=True)
+        pq.write_table(pa.table({k: [v] for k, v in meta.items()}),
+                       path + "/_ann_meta/meta.parquet")
+    except (OSError, pa.ArrowInvalid):
+        spark.createDataFrame(
+            [(meta["n_planes"], meta["seed"], meta["dim"], meta["id_col"],
+              meta["vec_col"])],
+            "n_planes long, seed long, dim long, id_col string, "
+            "vec_col string").coalesce(1).write.mode("overwrite") \
+            .parquet(path + "/_ann_meta")
 
 
 def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
     """(index DataFrame, meta dict) for an index written by build_ann_index."""
-    meta = spark.read.parquet(path + "/_ann_meta").first().asDict()
+    try:
+        import pyarrow.parquet as pq
+        meta = {k: v[0] for k, v in
+                pq.read_table(path + "/_ann_meta").to_pydict().items()}
+    except (OSError, FileNotFoundError):
+        meta = spark.read.parquet(path + "/_ann_meta").first().asDict()
     return spark.read.parquet(path), meta
 
 
