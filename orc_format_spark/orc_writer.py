@@ -493,6 +493,45 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
                         np.ones(nv.get(cid, 0), dtype=bool))
 
         cids = sorted({c for cs in group_streams for c in cs})
+        # Bit-packed boolean streams (PRESENT everywhere, DATA of boolean
+        # columns) cannot simply restart per group: a group whose bit count
+        # is not a multiple of 8 would leave padding bits that shift every
+        # later value for a sequential reader. Re-pack them as ONE
+        # whole-stripe bit sequence, chunk the byte-RLE at each group's
+        # BYTE boundary (the boundary byte belongs to the later chunk), and
+        # record each group's bit offset — the reason ORC row-index
+        # positions carry a bit offset at all.
+        pos_bits: dict[tuple[int, int], list[int]] = {}
+        if n_groups > 1:
+            for cid in cids:
+                for kind in (PRESENT, DATA):
+                    if kind == DATA and nodes[cid]["kind"] != 0:
+                        continue
+                    if not any(kind in cs.get(cid, {}) for cs in group_streams):
+                        continue
+                    bit_counts, all_bits = [], []
+                    for g, cs in enumerate(group_streams):
+                        if kind == PRESENT:
+                            nb = group_nvals[g].get(cid, 0)
+                        else:
+                            nb = int(group_stats[g][cid]["n"])
+                        bit_counts.append(nb)
+                        if nb:
+                            all_bits.append(boolean_rle.decode_bools(
+                                cs.get(cid, {}).get(kind, b""), nb))
+                    bits = (np.concatenate(all_bits) if all_bits
+                            else np.zeros(0, dtype=bool))
+                    packed = np.packbits(bits.astype(np.uint8))
+                    S = np.zeros(n_groups + 1, dtype=np.int64)
+                    np.cumsum(np.array(bit_counts, dtype=np.int64), out=S[1:])
+                    byte_starts = (S // 8).tolist()
+                    pos_bits[(cid, kind)] = (S[:-1] % 8).tolist()
+                    for g, cs in enumerate(group_streams):
+                        lo = byte_starts[g]
+                        hi = (byte_starts[g + 1] if g + 1 < n_groups
+                              else len(packed))
+                        cs.setdefault(cid, {})[kind] = \
+                            boolean_rle.encode_bytes(packed[lo:hi])
         # concatenate per (cid, kind); each group section()ed independently
         # so groups start at compressed-chunk boundaries
         parts: dict[tuple[int, int], list[bytes]] = {}
@@ -517,8 +556,11 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
                         positions.append(comp_off)
                         if comp_kind:
                             positions.append(0)   # offset in decompressed chunk
-                        positions.extend(
-                            [0] * _POS_SUFFIX[_pos_category(nodes[cid], kind)])
+                        suffix = [0] * _POS_SUFFIX[
+                            _pos_category(nodes[cid], kind)]
+                        if suffix and (cid, kind) in pos_bits:
+                            suffix[-1] = pos_bits[(cid, kind)][g]
+                        positions.extend(suffix)
                     entry = _pb_packed(1, positions)
                     entry += _pb_bytes(2, _pb_stats(
                         group_stats[g].get(cid, {"n": 0, "has_null": False,

@@ -208,7 +208,7 @@ def test_row_index_fuzz_random_tables(tmp_path, seed):
     import pyarrow.orc as po
     rng = np.random.default_rng(seed)
     n = int(rng.integers(900, 2600))
-    stride = int(rng.choice([128, 250, 1000]))
+    stride = int(rng.choice([100, 150, 250, 333]))  # deliberately NOT multiples of 8
     stripe_rows = int(rng.choice([700, 1500]))
 
     def maybe_null(vals, typ):
@@ -267,3 +267,35 @@ def test_stripe_pruning_string_predicate(tmp_path):
     # int value against string stats: TypeError guard => conservative keep
     plans2, _, _, _, pruned2 = orc_reader._plan_stripes([p], ("k", "=", 42))
     assert pruned2 == 0 and len(plans2) == 4
+
+
+def test_row_index_bit_unaligned_groups(tmp_path):
+    """REGRESSION: bit-packed streams (PRESENT, bool DATA) under a row
+    index whose stride is NOT a multiple of 8. A per-group restart would
+    leave padding bits that shift every later value; the writer must emit
+    ONE whole-stripe bit sequence chunked at byte boundaries, with the
+    group's bit offset in the RowIndexEntry positions."""
+    import io
+    from decimal import Decimal
+    import pyarrow.orc as po
+    n = 900
+    tbl = pa.table({
+        "d": pa.array([None if i % 5 == 0 else Decimal(i) / Decimal(100)
+                       for i in range(n)], type=pa.decimal128(12, 2)),
+        "bo": pa.array([None if i % 7 == 0 else bool(i % 3)
+                        for i in range(n)], type=pa.bool_()),
+        "ls": pa.array([[i] * (i % 4) if i % 6 else None for i in range(n)],
+                       type=pa.list_(pa.int64())),
+    })
+    p = str(tmp_path / "bits.orc")
+    orc_writer.write_orc(tbl, p, stripe_rows=400, row_index_stride=150)
+    raw = open(p, "rb").read()
+    ours = orc_reader.read_orc_bytes(raw)
+    ap = po.ORCFile(io.BytesIO(raw)).read()
+    for c in tbl.column_names:
+        e = tbl.column(c).combine_chunks()
+        assert ours.column(c).combine_chunks().cast(e.type).equals(e), c
+        assert ap.column(c).combine_chunks().cast(e.type).equals(e), c
+    # positions carry the real bit offset (150 % 8 == 6) for bool streams
+    ri = orc_reader.read_row_index(p)
+    assert ri[0][1][1]["positions"][3] == 6   # decimal PRESENT bit offset
