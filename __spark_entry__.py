@@ -236,12 +236,16 @@ def q_orc_file_roundtrip(spark, sf_dir):
 
 
 def q_orc_pruned_read(spark, sf_dir):
-    """Round-4 ORC read-path features in one oracle-checked query: events
-    written to a multi-stripe .orc WITH a row index (row_index_stride=500,
-    per-stride positions + statistics), read back via spark_read_orc with
-    COLUMN PRUNING (only event_id/event_type streams decode) and a
-    STRIPE-PRUNING predicate hint (Metadata StripeStatistics skip stripes
-    that cannot contain the range); the residual filter keeps values exact."""
+    """ORC read-path features in one oracle-checked query: events written
+    to a multi-stripe .orc WITH a row index (row_index_stride=500,
+    per-stride positions + statistics) in write-side ZSTD sections (r5),
+    read back via spark_read_orc with COLUMN PRUNING (only
+    event_id/event_type streams decode), a STRIPE-PRUNING predicate hint
+    (Metadata StripeStatistics skip stripes that cannot contain the range),
+    and — new r5 — ROW-GROUP SKIPPING inside the surviving stripe (the
+    RowIndexEntry positions slice each stream to the covering stride range,
+    so only 500 of the stripe's 2000 rows decode); the residual filter
+    keeps values exact."""
     _pin(spark)
     import tempfile, os
     import pyarrow.parquet as pq
@@ -251,7 +255,7 @@ def q_orc_pruned_read(spark, sf_dir):
                                  "value"])
     tbl = tbl.sort_by("event_id")
     path = os.path.join(tempfile.mkdtemp(prefix="orcpr"), "events.orc")
-    orc_writer.write_orc(tbl, path, compression="zlib", stripe_rows=2000,
+    orc_writer.write_orc(tbl, path, compression="zstd", stripe_rows=2000,
                          row_index_stride=500)
     lo, hi = 3000, 3199
     df = orc_reader.spark_read_orc(
@@ -345,8 +349,7 @@ def q_codec_selection(spark, sf_dir):
         from orc_format_spark.codecs import deflate
         for pdf in batches:
             recs = []
-            for _, r in pdf.iterrows():
-                row = dict(r)
+            for row in pdf.to_dict("records"):
                 arr = stripe_mod.decode_column(row)
                 kind = row["col_kind"]
                 if isinstance(arr, (pa.Array, pa.ChunkedArray)):
@@ -543,6 +546,32 @@ def q_ann_lsh_topk(spark, sf_dir):
             .select("vec_id"))
 
 
+def q_ann_batch_probe(spark, sf_dir):
+    """BATCH ANN probe — the production shape (millions of queries as a
+    DataFrame, not one driver-side vector): bucketize the query set with
+    the index's persisted plane family, one bucket join against the
+    bucket-partitioned index, window top-k per query. Oracle-checkable by
+    the planted construction: the 100 query vectors are the first 100
+    corpus vectors, each planted once more under _PLANT_OFFSET + vec_id,
+    so every query's exact top-2 is {its own vec_id, its planted copy}
+    (cosine 1.0 both, any other random vector < 1.0), which is plain SQL."""
+    _pin(spark)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qset = emb.orderBy("vec_id").limit(100)
+    planted = qset.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding")
+    uni = emb.unionByName(planted)
+    import os
+    path = os.path.join("spark-warehouse",
+                        f"ann_bidx_{os.path.basename(sf_dir.rstrip('/'))}")
+    similarity.build_ann_index(uni, path, n_planes=6, seed=42)
+    queries = qset.select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec"))
+    return (similarity.probe_ann_index_many(spark, path, queries, k=2,
+                                            n_probes=4)
+            .select("query_id", F.col("vec_id").alias("match_id")))
+
+
 def q_lang_id(spark, sf_dir):
     _pin(spark)
     df = _read(spark, sf_dir, "documents")
@@ -609,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_batch_probe": q_ann_batch_probe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
@@ -706,6 +736,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id FROM ("
             "SELECT u.vec_id, list_cosine_similarity(u.embedding, q.embedding) AS c "
             "FROM uni u, q ORDER BY c DESC, u.vec_id ASC LIMIT 10)",
+        "ann_batch_probe":
+            "WITH q AS (SELECT vec_id FROM embeddings "
+            "ORDER BY vec_id LIMIT 100) "
+            "SELECT vec_id AS query_id, vec_id AS match_id FROM q "
+            "UNION ALL "
+            "SELECT vec_id AS query_id, vec_id + 10000000 AS match_id FROM q",
         "dedup_minhash":
             "WITH pos AS (SELECT doc_id, text, "
             "unnest(range(1, GREATEST(length(text)-4, 1) + 1)) AS i FROM documents), "

@@ -88,11 +88,15 @@ def worker(master: str, data_path: str, stripe_rows: int) -> None:
     spark.stop()
 
 
-def _wait_idle(max_load: float = 3.0, timeout: float = 90.0) -> None:
+def _loadavg() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+def _wait_idle(max_load: float = 3.0, timeout: float = 180.0) -> None:
     """Let residual load from the previous JVM drain before measuring."""
     t0 = time.time()
     while time.time() - t0 < timeout:
-        if float(open("/proc/loadavg").read().split()[0]) <= max_load:
+        if _loadavg() <= max_load:
             return
         time.sleep(5)
 
@@ -120,12 +124,18 @@ def _run_worker(master: str, data: str, burners: int = 0) -> dict:
     try:
         if burners:
             time.sleep(2)
+        load0 = _loadavg()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", master,
              data, str(STRIPE_ROWS)],
             capture_output=True, text=True, cwd=REPO, timeout=3600)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        return json.loads(line)
+        r = json.loads(line)
+        # ambient-load evidence rides in the artifact: loadavg at run start
+        # (minus our own burners) tells a reader whether a slow leg was
+        # host noise or software
+        r["load_start"] = round(max(load0 - burners, 0.0), 2)
+        return r
     finally:
         for p in procs:
             p.kill()
@@ -163,13 +173,28 @@ def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
 
     # raw: each level alone on the box (N-level cores run faster per-core —
     # understates software scaling); controlled: N-level runs with 4N-N
-    # burner cores so both levels see identical machine state. The N-level
-    # controlled runs are tight (<=7% session spread measured) so 2 repeats
-    # suffice; the 4N level is noisier and gets the full repeats.
-    raw_n, _ = best_of(SCALING_N_MASTER, burners=0, n_runs=1)
+    # burner cores so both levels see identical machine state.
+    #
+    # Load-hardening (r4 post-mortem: the driver artifact's legs ran at
+    # different times under a shifting ambient load and recorded 0.759 raw
+    # while same-day self-runs held 0.87-0.93): the raw N and 4N legs are
+    # INTERLEAVED so a load burst hits both legs, each run is loadavg-gated,
+    # the per-leg MEDIAN is the headline (one noisy session cannot sink the
+    # ratio), and every session's start loadavg rides in the artifact.
+    raw_n_runs, n4_runs = [], []
+    for _ in range(repeats):
+        _wait_idle()
+        raw_n_runs.append(_run_worker(SCALING_N_MASTER, data, burners=0))
+        _wait_idle()
+        n4_runs.append(_run_worker(SCALING_4N_MASTER, data, burners=0))
+
+    def median_run(runs: list) -> dict:
+        return sorted(runs, key=lambda r: r["sec"])[(len(runs) - 1) // 2]
+
+    raw_n, n4 = median_run(raw_n_runs), median_run(n4_runs)
     ctl_n, ctl_times = best_of(SCALING_N_MASTER, burners=_4N_CORES - _N_CORES,
                                n_runs=min(repeats, 2))
-    n4, n4_times = best_of(SCALING_4N_MASTER, burners=0, n_runs=repeats)
+    n4_times = [round(r["sec"], 2) for r in n4_runs]
     # secondary raw 8->32 pair: recorded in the artifact itself (not just
     # BENCH.md prose) so the JSON carries the unflattering high-activation
     # number alongside the primary pair (VERDICT r2 adjudication).
@@ -178,6 +203,10 @@ def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
     ratio = _4N_CORES / _N_CORES
     eff_raw = (n4["turns_per_sec"] / raw_n["turns_per_sec"]) / ratio
     eff_ctl = (n4["turns_per_sec"] / ctl_n["turns_per_sec"]) / ratio
+    best_n = min(raw_n_runs, key=lambda r: r["sec"])
+    best_4n = min(n4_runs, key=lambda r: r["sec"])
+    eff_raw_best = (best_4n["turns_per_sec"]
+                    / best_n["turns_per_sec"]) / ratio
     eff_8_32_raw = (ctx["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
     # equal-core-seconds evidence: perfect software scaling = identical
     # core-seconds at both levels (the residual is per-core memory-system
@@ -192,12 +221,17 @@ def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
             "sec_N_raw": round(raw_n["sec"], 2),
             "sec_N_controlled": round(ctl_n["sec"], 2),
             "sec_4N": round(n4["sec"], 2),
+            "sessions_N_raw": [round(r["sec"], 2) for r in raw_n_runs],
             "sessions_N_controlled": ctl_times,
             "sessions_4N": n4_times,
+            "loadavg_sessions": {
+                "N_raw": [r["load_start"] for r in raw_n_runs],
+                "fourN": [r["load_start"] for r in n4_runs]},
             "core_seconds_N_controlled": round(core_s_n, 1),
             "core_seconds_4N": round(core_s_4n, 1),
             "core_seconds_ratio": round(core_s_n / core_s_4n, 3),
             "scaling_efficiency_raw": round(eff_raw, 3),
+            "scaling_efficiency_raw_best": round(eff_raw_best, 3),
             "scaling_efficiency": round(eff_ctl, 3),
             "pair_8_32_raw": {
                 "turns_per_sec_8": round(r8["turns_per_sec"], 1),
@@ -268,6 +302,7 @@ def main() -> None:
                  "dedup_exact", "text_quality", "ann_topk", "dedup_minhash",
                  "stride_pruned_lookup", "embedding_dups", "ann_lsh_topk"):
         fn = entrymod.queries()[name]
+        _wait_idle(max_load=4.0, timeout=30.0)   # bounded per-query gate
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         queries[name] = time.perf_counter() - t0
@@ -281,6 +316,7 @@ def main() -> None:
         "metric": "bench_total_sec",
         "value": round(total, 2),
         "unit": "sec",
+        "loadavg_end": round(_loadavg(), 2),
         "queries": {k: round(v, 2) for k, v in queries.items()},
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "encode": {

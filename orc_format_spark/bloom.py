@@ -114,6 +114,55 @@ def build(values, k: int = DEFAULT_K) -> bytes:
             + np.packbits(bits, bitorder="little").tobytes())
 
 
+def _hash_value(value) -> tuple[np.uint64, np.uint64]:
+    """(h1, h2) for ONE probe value — shared by scalar and batch probes."""
+    if isinstance(value, (int, np.integer)) and not isinstance(value, bool):
+        arr = np.array([value], dtype=np.int64)
+    else:
+        arr = np.empty(1, dtype=object)
+        arr[0] = _canon_obj(value)
+    h1, h2 = _hash_pairs(arr)
+    return h1[0], h2[0]
+
+
+def might_contain_many(blobs, value) -> np.ndarray:
+    """Vectorized :func:`might_contain` over a batch of blobs — the
+    manifest-pruning hot path probes one bloom PER MANIFEST ROW (millions
+    of rows at 100 TB), so per-row Python header parses and whole-bitset
+    unpacks don't fly. This hashes the target once, groups blobs by
+    (k, n_bits, header_len) — in practice one group, since stripes share
+    build parameters — and per group does ONE buffer concat + ONE 2-D
+    fancy gather of just the k probe bytes per blob. Never unpacks a
+    bitset; work per blob is O(k) bytes, not O(n_bits).
+
+    Returns a boolean array aligned with ``blobs``; empty/legacy blobs
+    keep the never-prune True, exactly like the scalar probe."""
+    out = np.ones(len(blobs), dtype=bool)
+    h1, h2 = _hash_value(value)
+    groups: dict = {}
+    for i, b in enumerate(blobs):
+        if not b or b[0] != VERSION_BYTE:
+            continue  # unknown scheme / missing: never prune
+        k, pos = varint.decode_unsigned(b, 1)
+        n_bits, pos = varint.decode_unsigned(b, pos)
+        g = groups.setdefault((k, n_bits, pos), ([], []))
+        g[0].append(i)
+        g[1].append(b)
+    for (k, n_bits, pos), (idxs, bs) in groups.items():
+        steps = np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            bit_idx = (h1 + steps * h2) & np.uint64(n_bits - 1)
+        byte_off = (bit_idx >> np.uint64(3)).astype(np.int64) + pos
+        bit_mask = np.uint8(1) << (bit_idx & np.uint64(7)).astype(np.uint8)
+        buf = np.frombuffer(b"".join(bs), np.uint8)
+        lens = np.fromiter((len(b) for b in bs), np.int64, count=len(bs))
+        offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+        probe_bytes = buf[offs[:, None] + byte_off[None, :]]   # (rows, k)
+        out[np.asarray(idxs)] = ((probe_bytes & bit_mask[None, :]) != 0) \
+            .all(axis=1)
+    return out
+
+
 def might_contain(blob: bytes, value) -> bool:
     """False -> the value is DEFINITELY absent from the stripe's column."""
     if not blob:

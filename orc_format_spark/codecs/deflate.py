@@ -22,13 +22,16 @@ DEFAULT_BLOCK_SIZE = 256 * 1024
 _LEVEL = 6
 
 
-def compress(raw: bytes, block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
-    """Frame + raw-deflate ``raw`` in chunks of ``block_size``."""
+def frame(raw: bytes, block_compress,
+          block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
+    """ORC chunk framing (3-byte LE header, bit0 = is_original) over an
+    arbitrary per-block compressor — the framing is codec-independent in
+    the format; only the block codec differs between ZLIB/SNAPPY/LZ4/ZSTD
+    sections (decompress/mod.rs:24-93)."""
     out = bytearray()
     for i in range(0, len(raw), block_size):
         chunk = raw[i:i + block_size]
-        co = zlib.compressobj(_LEVEL, zlib.DEFLATED, -15)
-        comp = co.compress(chunk) + co.flush()
+        comp = block_compress(chunk)
         if len(comp) < len(chunk):
             header = len(comp) << 1  # bit0=0 -> compressed
             out += header.to_bytes(3, "little")
@@ -38,6 +41,16 @@ def compress(raw: bytes, block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
             out += header.to_bytes(3, "little")
             out += chunk
     return bytes(out)
+
+
+def _deflate_block(chunk: bytes) -> bytes:
+    co = zlib.compressobj(_LEVEL, zlib.DEFLATED, -15)
+    return co.compress(chunk) + co.flush()
+
+
+def compress(raw: bytes, block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
+    """Frame + raw-deflate ``raw`` in chunks of ``block_size``."""
+    return frame(raw, _deflate_block, block_size)
 
 
 def decompress(buf: bytes) -> bytes:

@@ -107,6 +107,19 @@ def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
     return load_ann_index(spark, path)[0]
 
 
+def _resolve_fs(path: str):
+    """(filesystem, fs_path) for a URI or plain path: s3://, hdfs:// etc.
+    resolve through pyarrow.fs so a remote index never mints a bogus LOCAL
+    directory named after the URI; scheme-less strings are local paths."""
+    import os
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except pa.ArrowInvalid:
+        return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 def _write_meta(spark, path: str, meta: dict) -> None:
     """One-row meta side table. pyarrow writes it driver-side (a 1-row
     Spark job costs ~2 s of commit-protocol overhead); the Spark writer is
@@ -114,10 +127,11 @@ def _write_meta(spark, path: str, meta: dict) -> None:
     import pyarrow as pa
     try:
         import pyarrow.parquet as pq
-        import os
-        os.makedirs(path + "/_ann_meta", exist_ok=True)
+        filesystem, base = _resolve_fs(path)
+        filesystem.create_dir(base + "/_ann_meta", recursive=True)
         pq.write_table(pa.table({k: [v] for k, v in meta.items()}),
-                       path + "/_ann_meta/meta.parquet")
+                       base + "/_ann_meta/meta.parquet",
+                       filesystem=filesystem)
     except (OSError, pa.ArrowInvalid):
         spark.createDataFrame(
             [(meta["n_planes"], meta["seed"], meta["dim"], meta["id_col"],
@@ -131,8 +145,10 @@ def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
     """(index DataFrame, meta dict) for an index written by build_ann_index."""
     try:
         import pyarrow.parquet as pq
+        filesystem, base = _resolve_fs(path)
         meta = {k: v[0] for k, v in
-                pq.read_table(path + "/_ann_meta").to_pydict().items()}
+                pq.read_table(base + "/_ann_meta", filesystem=filesystem)
+                .to_pydict().items()}
     except (OSError, FileNotFoundError):
         meta = spark.read.parquet(path + "/_ann_meta").first().asDict()
     return spark.read.parquet(path), meta
@@ -143,9 +159,103 @@ def probe_ann_index(spark, path: str, query: list[float], k: int = 10,
     """Top-k probe against a persisted index: reads ONLY the probed bucket
     partitions (partition pruning), exact-ranks the survivors."""
     index, meta = load_ann_index(spark, path)
+    if len(query) != int(meta["dim"]):
+        raise ValueError(
+            f"query dim {len(query)} != index dim {int(meta['dim'])} "
+            f"({path}): the plane family is dimension-specific, a mismatch "
+            "would bucketize into garbage instead of failing")
     return lsh_topk(index, query, k=k, id_col=meta["id_col"],
                     vec_col=meta["vec_col"], n_planes=int(meta["n_planes"]),
                     n_probes=n_probes, seed=int(meta["seed"]))
+
+
+def _cosine_pair_expr(a_col: str, b_col: str):
+    """cosine(a, b) between two array columns as a pure JVM expression
+    (zip_with + aggregate — whole-stage codegen, no Python)."""
+    a = F.col(a_col).cast("array<double>")
+    b = F.col(b_col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def probe_ann_index_many(spark, path: str, queries: DataFrame, k: int = 10,
+                         n_probes: int = 3, query_id_col: str = "query_id",
+                         query_vec_col: str = "query_vec",
+                         prune_partitions: bool | None = None) -> DataFrame:
+    """Batch top-k probe — the production shape: a 100-TB pipeline probes
+    MILLIONS of queries, not one driver-side vector.
+
+    Plan: (1) the plane family is rebuilt from the persisted ``_ann_meta``
+    and closed over by a vectorized kernel that explodes each query row to
+    its probed buckets (home bucket + ``n_probes`` lowest-|margin| sign
+    flips — the same probe set the single-query path uses), one numpy
+    matmul per Arrow batch, no per-row Python; (2) ONE join on ``bucket``
+    against the bucket-partitioned index — never all-pairs, and since each
+    index vector lives in exactly one bucket no post-join dedup is needed;
+    (3) exact cosine ranks survivors per query via a window top-k.
+
+    Small query sets (<=1000 rows, or ``prune_partitions=True``) push the
+    distinct probed buckets into the index scan as a literal IN — parquet
+    partition pruning reads only those bucket directories — and broadcast
+    the exploded query side. At millions of queries every bucket is hit
+    anyway, so the plain shuffle join is the right plan and is used.
+    """
+    index, meta = load_ann_index(spark, path)
+    n_planes, dim = int(meta["n_planes"]), int(meta["dim"])
+    planes = _planes(n_planes, dim, int(meta["seed"]))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[query_vec_col].to_numpy()).astype(np.float64)
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"query dim {m.shape[1]} != index dim {dim}")
+            margins = m @ planes.T                       # (rows, n_planes)
+            home = ((margins > 0).astype(np.uint64)
+                    << np.arange(n_planes, dtype=np.uint64)) \
+                .sum(axis=1).astype(np.int64)
+            flips = np.argsort(np.abs(margins), axis=1)[:, :n_probes]
+            probes = np.concatenate(
+                [home[:, None], home[:, None] ^ (1 << flips.astype(np.int64))],
+                axis=1)                                  # (rows, 1+n_probes)
+            yield pd.DataFrame({
+                query_id_col:
+                    pdf[query_id_col].to_numpy().repeat(probes.shape[1]),
+                query_vec_col:
+                    pdf[query_vec_col].to_numpy().repeat(probes.shape[1]),
+                "bucket": probes.ravel()})
+
+    exploded = queries.select(query_id_col, query_vec_col).mapInPandas(
+        kernel,
+        schema=f"{query_id_col} long, {query_vec_col} array<float>, "
+               "bucket long")
+
+    if prune_partitions is None:
+        prune_partitions = queries.limit(1001).count() <= 1000
+    if prune_partitions:
+        buckets = [r["bucket"]
+                   for r in exploded.select("bucket").distinct().collect()]
+        index = index.where(F.col("bucket").isin(buckets))
+        cand = index.join(F.broadcast(exploded), "bucket")
+    else:
+        cand = index.join(exploded, "bucket")
+
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (cand.select(
+                query_id_col, id_col,
+                _cosine_pair_expr(query_vec_col, vec_col).alias("cosine"))
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
 
 
 def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,

@@ -337,13 +337,26 @@ def _decode_nanos(sec: np.ndarray, nano_enc: np.ndarray) -> np.ndarray:
 
 def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
                    n_rows: int, compression: int,
-                   types: list | None = None) -> pa.Array:
+                   types: list | None = None,
+                   bit_skips: dict | None = None) -> pa.Array:
+    """``bit_skips``: {(col_id, stream_kind): n} — leading bits to discard
+    from a bit-packed stream. Used by the row-group slicing path: a group
+    range of a whole-stripe bit sequence starts mid-byte (the RowIndexEntry
+    bit offset), so the first bits of the sliced stream belong to earlier
+    groups."""
     kind = _KINDS[typ["kind"]]
     enc = sf["encodings"][col_id]
     streams = _streams_for(sf, col_id)
+
+    def _bits(stream: bytes, count: int, stream_kind: int) -> np.ndarray:
+        skip = bit_skips.get((col_id, stream_kind), 0) if bit_skips else 0
+        if skip:
+            return boolean_rle.decode_bools(stream, count + skip)[skip:]
+        return boolean_rle.decode_bools(stream, count)
+
     present = _read_stream(stripe_buf, streams, PRESENT, compression)
     if present:
-        valid = boolean_rle.decode_bools(present, n_rows)
+        valid = _bits(present, n_rows, PRESENT)
         n_valid = int(valid.sum())
     else:
         valid = None
@@ -374,7 +387,7 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
     if kind == "struct":
         children = [
             _decode_column(stripe_buf, sf, cid, types[cid], n_valid,
-                           compression, types)
+                           compression, types, bit_skips)
             for cid in typ["subtypes"]]
         vals_arr = pa.StructArray.from_arrays(children,
                                               names=typ["fieldNames"])
@@ -389,15 +402,15 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
         if kind == "list":
             child = _decode_column(stripe_buf, sf, typ["subtypes"][0],
                                    types[typ["subtypes"][0]], n_child,
-                                   compression, types)
+                                   compression, types, bit_skips)
             vals_arr = pa.ListArray.from_arrays(off_arr, child)
         else:
             keys = _decode_column(stripe_buf, sf, typ["subtypes"][0],
                                   types[typ["subtypes"][0]], n_child,
-                                  compression, types)
+                                  compression, types, bit_skips)
             items = _decode_column(stripe_buf, sf, typ["subtypes"][1],
                                    types[typ["subtypes"][1]], n_child,
-                                   compression, types)
+                                   compression, types, bit_skips)
             vals_arr = pa.MapArray.from_arrays(off_arr, keys, items)
         return _scatter(vals_arr)
     if kind == "union":
@@ -409,7 +422,8 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
             sel = tags == i
             n_child = int(sel.sum())
             children.append(_decode_column(stripe_buf, sf, cid, types[cid],
-                                           n_child, compression, types))
+                                           n_child, compression, types,
+                                           bit_skips))
             offs[sel] = np.arange(n_child, dtype=np.int32)
         vals_arr = pa.UnionArray.from_dense(
             pa.array(tags.astype(np.int8), type=pa.int8()),
@@ -421,7 +435,7 @@ def _decode_column(stripe_buf: bytes, sf: dict, col_id: int, typ: dict,
         return vals_arr
 
     if kind == "boolean":
-        vals = boolean_rle.decode_bools(data, n_valid)
+        vals = _bits(data, n_valid, DATA)
         return _scatter(pa.array(vals))
     if kind == "byte":
         vals = boolean_rle.decode_bytes(data, n_valid).view(np.int8)
@@ -619,7 +633,7 @@ def _plan_stripes(paths: list[str], predicate=None):
         elif root["fieldNames"] != names0:
             raise ValueError(f"ORC schema mismatch across files: {p}")
         meta[p] = (ps["compression"], footer["types"], root["subtypes"],
-                   root["fieldNames"])
+                   root["fieldNames"], footer.get("rowIndexStride", 0))
         pred_cid = None
         if predicate is not None and predicate[0] in root["fieldNames"]:
             pred_cid = root["subtypes"][root["fieldNames"].index(predicate[0])]
@@ -681,6 +695,126 @@ def read_row_index(path: str) -> list[dict[int, list[dict]]]:
     return out
 
 
+_POS_SUFFIX = {"raw": 0, "byte": 1, "rle": 1, "bool": 2}
+
+
+def _pos_category(typ: dict, stream_kind: int) -> str:
+    """Row-index position shape for a stream (mirror of the writer's
+    orc_writer._pos_category — how many codec position values follow the
+    chunk offset)."""
+    if stream_kind == PRESENT:
+        return "bool"
+    k = typ["kind"]
+    if k == 0:
+        return "bool"                     # boolean DATA
+    if k in (1, 13):
+        return "byte"                     # byte / union-tag byte RLE
+    if k in (5, 6):
+        return "raw"                      # raw IEEE floats
+    if k in (7, 8, 16, 17, 14):
+        return "raw" if stream_kind == DATA else "rle"
+    return "rle"                          # ints/date/ts/lengths/codes
+
+
+def _entry_offsets(entries: list, streams: dict, typ: dict,
+                   compression: int) -> list[dict]:
+    """Per RowIndexEntry: {stream_kind: (chunk_byte_offset, bit_offset)} —
+    the inverse of the writer's packed positions layout (positions walk the
+    column's streams in PRESENT, DATA, LENGTH, SECONDARY order; each
+    contributes chunk offset [+ in-chunk offset when compressed] + its
+    category's codec positions, bit offset last for bit-packed streams)."""
+    out = []
+    for e in entries:
+        pv, i, m = e["positions"], 0, {}
+        for kind in (PRESENT, DATA, LENGTH, SECONDARY):
+            if kind not in streams:
+                continue
+            chunk_off = pv[i]
+            i += 1
+            if compression:
+                i += 1                     # offset inside decompressed chunk
+            cat = _pos_category(typ, kind)
+            ns = _POS_SUFFIX[cat]
+            bit_off = pv[i + ns - 1] if cat == "bool" else 0
+            i += ns
+            m[kind] = (chunk_off, bit_off)
+        out.append(m)
+    return out
+
+
+def _slice_stripe_groups(stripe_buf: bytes, sf: dict, types: list,
+                         entry_offs: dict, g0: int, g1: int,
+                         n_groups: int):
+    """(virtual_buf, virtual_sf, bit_skips): every data stream sliced to
+    the contiguous row-group range [g0, g1).
+
+    Valid for files from THIS writer because each stride group is encoded
+    as its own compressed chunk run with fresh codec state, so a group
+    range of a stream is itself a well-formed stream — except bit-packed
+    streams, which are one whole-stripe bit sequence chunked at byte
+    boundaries: the range's first bits start mid-byte (returned in
+    ``bit_skips``) and its last bits can spill into the NEXT group's first
+    byte, so bool-category slices extend one group further."""
+    new_parts, new_streams, bit_skips = [], [], {}
+    pos = 0
+    for st in sf["streams"]:
+        cid, kind, ln = st["column"], st["kind"], st["length"]
+        seg = stripe_buf[pos:pos + ln]
+        pos += ln
+        if kind == ROW_INDEX:
+            continue                       # drop index streams in the view
+        offs = entry_offs[cid]
+        cat = _pos_category(types[cid], kind)
+        start, b0 = offs[g0][kind]
+        end_g = g1 + 1 if cat == "bool" else g1
+        end = offs[end_g][kind][0] if end_g < n_groups else ln
+        if cat == "bool":
+            bit_skips[(cid, kind)] = b0
+        new_streams.append({**st, "length": end - start})
+        new_parts.append(seg[start:end])
+    return b"".join(new_parts), {**sf, "streams": new_streams}, bit_skips
+
+
+def _plan_stride_groups(sf: dict, stripe_buf: bytes, compression: int,
+                        types: list, pred_cid: int, predicate,
+                        stride: int, n_stripe_rows: int):
+    """Row-group pruning plan for one stripe: parse its ROW_INDEX streams,
+    keep groups whose per-group ColumnStatistics may match, and return
+    (g0, g1, n_groups, entry_offs) for the contiguous covering range —
+    or None when nothing can be skipped (no index / all groups match) /
+    'empty' when NO group matches (skip the whole stripe)."""
+    ri = {}
+    pos = 0
+    for st in sf["streams"]:
+        if st["kind"] == ROW_INDEX:
+            ri[st["column"]] = _parse_row_index(
+                _decompress(stripe_buf[pos:pos + st["length"]], compression))
+        pos += st["length"]
+    if pred_cid not in ri or stride <= 0:
+        return None
+    n_groups = max((n_stripe_rows + stride - 1) // stride, 1)
+    entries = ri[pred_cid]
+    if len(entries) != n_groups or n_groups <= 1:
+        return None
+    # sliced decode cannot reassemble a stripe-global dictionary subset;
+    # our writer forces DirectV2 under a row index, other writers may not
+    if any(e["kind"] in (DICTIONARY, DICTIONARY_V2)
+           for e in sf["encodings"]):
+        return None
+    keep = [g for g in range(n_groups)
+            if _stats_may_match(entries[g]["stats"] or {}, predicate[1],
+                                predicate[2])]
+    if not keep:
+        return "empty"
+    g0, g1 = min(keep), max(keep) + 1
+    if (g0, g1) == (0, n_groups):
+        return None
+    entry_offs = {cid: _entry_offsets(ri[cid], _streams_for(sf, cid),
+                                      types[cid], compression)
+                  for cid in ri}
+    return g0, g1, n_groups, entry_offs
+
+
 def _select_fields(col_ids: list, names: list, columns):
     """Top-level projection: keep only the requested (cid, name) pairs, in
     the requested order. None => all columns."""
@@ -736,7 +870,7 @@ def spark_read_orc(spark, paths: list[str], columns: list[str] | None = None,
         for b in batches:
             for row in b.to_pylist():
                 p = row["path"]
-                comp, types, col_ids, names = meta[p]
+                comp, types, col_ids, names, stride = meta[p]
                 sel_ids, sel_names = _select_fields(col_ids, names, columns)
                 with open(p, "rb") as f:
                     f.seek(row["off"])
@@ -745,9 +879,28 @@ def spark_read_orc(spark, paths: list[str], columns: list[str] | None = None,
                 sf = _parse_stripe_footer(_decompress(
                     stripe_all[row["ilen"] + row["dlen"]:], comp))
                 stripe_buf = stripe_all[:row["ilen"] + row["dlen"]]
+                n_rows, bit_skips = row["rows"], None
+                if (predicate is not None and row["ilen"] > 0 and stride
+                        and predicate[0] in names):
+                    # row-group skipping INSIDE the surviving stripe: use
+                    # the ROW_INDEX per-group stats to decode only the
+                    # covering range of possibly-matching groups
+                    plan = _plan_stride_groups(
+                        sf, stripe_buf, comp, types,
+                        col_ids[names.index(predicate[0])], predicate,
+                        stride, row["rows"])
+                    if plan == "empty":
+                        continue          # no group can match: skip stripe
+                    if plan is not None:
+                        g0, g1, n_groups, entry_offs = plan
+                        stripe_buf, sf, bit_skips = _slice_stripe_groups(
+                            stripe_buf, sf, types, entry_offs, g0, g1,
+                            n_groups)
+                        n_rows = (min(g1 * stride, row["rows"])
+                                  - g0 * stride)
                 arrays = [
                     _decode_column(stripe_buf, sf, cid, types[cid],
-                                   row["rows"], comp, types)
+                                   n_rows, comp, types, bit_skips)
                     for cid in sel_ids]
                 out = pa.RecordBatch.from_arrays(arrays, names=sel_names)
                 yield out.cast(sample_schema) \

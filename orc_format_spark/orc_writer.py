@@ -95,10 +95,13 @@ def _column_stats(arr: pa.Array, kind: int) -> dict:
             mm = pc.min_max(arr).as_py()
             st.update(kind="int", min=int(mm["min"]), max=int(mm["max"]))
         elif kind in (5, 6):              # float/double
-            mm = pc.min_max(arr).as_py()
-            if mm["min"] is not None and np.isfinite([mm["min"], mm["max"]]).all():
-                st.update(kind="double", min=float(mm["min"]),
-                          max=float(mm["max"]))
+            # Apache ORC semantics: NaN is unorderable -> omit bounds for
+            # the slice; +/-inf are valid orderable min/max and MUST be
+            # kept, or a stats-pruning reader would silently drop inf rows.
+            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            if not np.isnan(vals).any():
+                st.update(kind="double", min=float(vals.min()),
+                          max=float(vals.max()))
         elif kind in (7, 16, 17):         # string/varchar/char
             mm = pc.min_max(arr).as_py()
             st.update(kind="string", min=str(mm["min"]), max=str(mm["max"]))
@@ -118,11 +121,21 @@ def _column_stats(arr: pa.Array, kind: int) -> dict:
 
 def _merge_stats(a: dict, b: dict) -> dict:
     out = {"n": a["n"] + b["n"], "has_null": a["has_null"] or b["has_null"],
-           "kind": a["kind"] or b["kind"], "min": a["min"], "max": a["max"]}
-    if b["min"] is not None:
-        out["min"] = b["min"] if a["min"] is None else min(a["min"], b["min"])
-    if b["max"] is not None:
-        out["max"] = b["max"] if a["max"] is None else max(a["max"], b["max"])
+           "kind": a["kind"] or b["kind"], "min": None, "max": None}
+    # A side with rows but no bounds has UNKNOWN bounds (NaN in a double
+    # slice, or a stats-less kind): merging must yield unknown, never the
+    # other side's bounds — else stripe/file stats claim a range that
+    # excludes real rows and stats-aware readers misprune.
+    a_unknown = a["n"] > 0 and a["min"] is None
+    b_unknown = b["n"] > 0 and b["min"] is None
+    if not (a_unknown or b_unknown):
+        if a["min"] is not None and b["min"] is not None:
+            out["min"] = min(a["min"], b["min"])
+            out["max"] = max(a["max"], b["max"])
+        elif a["min"] is not None:
+            out["min"], out["max"] = a["min"], a["max"]
+        elif b["min"] is not None:
+            out["min"], out["max"] = b["min"], b["max"]
     return out
 
 
@@ -425,6 +438,22 @@ _STREAM_ORDER = (PRESENT, DATA, LENGTH, DICTIONARY_DATA, SECONDARY)
 ROW_INDEX_KIND = 6
 
 
+def _section_compressor(comp_kind: int):
+    """Per-kind ORC section compressor under the shared chunk framing.
+    ZLIB stays on the pinned-deterministic pure-Python deflate; SNAPPY(2),
+    LZ4(4, raw block format) and ZSTD(5) use pyarrow's bundled codecs —
+    the same codecs the Apache C++ reader links, so write-side output is
+    validated by the same pyarrow.orc interop tests as the zlib path."""
+    if comp_kind == 0:
+        return lambda raw: raw
+    if comp_kind == 1:
+        return deflate.compress
+    codec = pa.Codec({2: "snappy", 4: "lz4_raw"}.get(comp_kind, "zstd"),
+                     compression_level=3 if comp_kind == 5 else None)
+    return lambda raw: deflate.frame(
+        raw, lambda chunk: codec.compress(chunk, asbytes=True))
+
+
 def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
                     stripe_rows: int = 65_536,
                     row_index_stride: int = 0) -> bytes:
@@ -445,10 +474,9 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
     file-level statistics are always written, so stripe pruning works on
     our files through any stats-aware reader (including
     orc_reader.spark_read_orc's predicate hint)."""
-    comp_kind = {"none": 0, "uncompressed": 0, "zlib": 1}[compression]
-
-    def section(raw: bytes) -> bytes:
-        return deflate.compress(raw) if comp_kind == 1 else raw
+    comp_kind = {"none": 0, "uncompressed": 0, "zlib": 1, "snappy": 2,
+                 "lz4": 4, "zstd": 5}[compression]
+    section = _section_compressor(comp_kind)
 
     nodes = _build_type_nodes(tbl.schema)
     out = bytearray(MAGIC)

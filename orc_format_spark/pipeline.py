@@ -454,7 +454,6 @@ def _estimate_rows(df: DataFrame) -> int | None:
     footers are read; with many files, samples 64 footers and extrapolates
     by byte size (n_buckets only needs order-of-magnitude accuracy).
     Returns None when the plan has no file sources (caller falls back)."""
-    import os
     try:
         files = df.inputFiles()
     except Exception:
@@ -471,11 +470,15 @@ def _estimate_rows(df: DataFrame) -> int | None:
     try:
         if len(paths) <= 64:
             return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-        sizes = {p: os.path.getsize(p) for p in paths}
+        # touch ONLY the 64 sampled footers driver-side: stat-ing every
+        # file to byte-weight the extrapolation is O(all files) of
+        # HEAD-equivalents on an object store (millions at 100 TB) before
+        # the job even starts, for no accuracy n_buckets needs. A stride
+        # sample over the sorted listing is unbiased in expectation, so
+        # mean-rows-per-file x file count is the right cheap estimate.
         sample = sorted(paths)[:: max(len(paths) // 64, 1)][:64]
         srows = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
-        sbytes = sum(sizes[p] for p in sample) or 1
-        return int(srows / sbytes * sum(sizes.values()))
+        return int(srows / len(sample) * len(paths))
     except Exception:
         return None
 
@@ -1009,9 +1012,11 @@ def decode_job(spark: SparkSession, out_dir: str,
 
             @pandas_udf("boolean")
             def probe(blooms: pd.Series) -> pd.Series:
-                return pd.Series([bloom_mod.might_contain(
-                    bytes(b) if b is not None else b"", target)
-                    for b in blooms])
+                # one vectorized batch probe: target hashed once, k probe
+                # BYTES gathered per blob — no per-row header parse or
+                # bitset unpack (15M manifest rows = 15M probes at 100 TB)
+                return pd.Series(bloom_mod.might_contain_many(
+                    [b if b is not None else b"" for b in blooms], target))
 
             manifest = manifest.filter(probe(F.col("key_bloom")))
         # Iceberg-style planning: surviving stripe ids become a LITERAL

@@ -80,3 +80,37 @@ def test_legacy_unversioned_blob_never_prunes():
     # and an explicitly foreign version byte
     foreign = bytes([0xB2]) + blob[1:]
     assert bloom.might_contain(foreign, "definitely-not-a-member") is True
+
+
+def test_might_contain_many_matches_scalar_probe():
+    """The vectorized manifest probe must agree bit-for-bit with the scalar
+    probe on every blob shape: versioned hit/miss, differing n_bits sizes
+    (mixed groups), empty, legacy-unversioned, foreign version byte."""
+    import numpy as np
+    small = bloom.build([f"conv-{i}" for i in range(10)])
+    big = bloom.build([f"conv-{i}" for i in range(5000)])
+    legacy = small[1:]
+    foreign = bytes([0xB2]) + small[1:]
+    blobs = [small, big, b"", legacy, foreign,
+             bloom.build([]), bloom.build(["conv-3"], k=4)]
+    for probe_val in ["conv-3", "conv-4999", "definitely-absent", 42]:
+        want = [bloom.might_contain(bytes(b), probe_val) for b in blobs]
+        got = bloom.might_contain_many(blobs, probe_val)
+        assert got.tolist() == want, probe_val
+    # int-keyed blooms through the batch path too
+    iblobs = [bloom.build(np.arange(100)), bloom.build(np.arange(100, 200))]
+    got = bloom.might_contain_many(iblobs, 150)
+    assert got.tolist() == [bloom.might_contain(b, 150) for b in iblobs]
+
+
+def test_might_contain_many_is_fast_at_manifest_scale():
+    """100k-row manifest probe in well under a second (the r4-flagged
+    per-row path re-parsed headers and unpacked whole bitsets per blob)."""
+    import time
+    blobs = [bloom.build([f"conv-{j}-{i}" for i in range(50)])
+             for j in range(200)] * 500           # 100_000 blobs
+    t0 = time.perf_counter()
+    got = bloom.might_contain_many(blobs, "conv-7-13")
+    dt = time.perf_counter() - t0
+    assert len(got) == 100_000 and got.any()
+    assert dt < 1.0, f"batch probe too slow: {dt:.2f}s for 100k blobs"

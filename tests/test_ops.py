@@ -306,6 +306,11 @@ def test_ann_index_persisted_probe_prunes_partitions(spark, emb, tmp_path):
     n_parts = len([d for d in os.listdir(path) if d.startswith("bucket=")])
     assert n_parts > len(probe), "corpus too concentrated to prove pruning"
 
+    # wrong-dimension probes fail loudly instead of bucketizing garbage
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.probe_ann_index(spark, path, q + [0.0], k=10)
+
 
 def test_multimodal_real_decode_stub_without_pil():
     """Hosts without an image library keep the loud documented stub."""
@@ -331,3 +336,48 @@ def test_multimodal_real_decode_with_pil(spark):
     out = multimodal.image_features(df, fake=False).toPandas()
     assert list(out["channel_means"][0]) == [10.0, 20.0, 30.0]
     assert out["pixel_std"][0] > 0
+
+
+def test_probe_ann_index_many_batch_matches_single(spark, emb, tmp_path):
+    """Batch probe (the production shape: queries as a DataFrame) over a
+    persisted index. 120 planted-duplicate queries: each query vector has
+    an exact copy in the corpus (itself), so top-1 per query must be the
+    query's own vec_id at cosine ~1.0; a sample of queries must also agree
+    with the single-query probe path exactly."""
+    path = str(tmp_path / "ann_batch_index")
+    similarity.build_ann_index(emb, path, n_planes=6, seed=42)
+
+    src = emb.orderBy("vec_id").limit(120).toPandas()
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": src["vec_id"].astype("int64"),
+        "query_vec": src["embedding"]}))
+    got = similarity.probe_ann_index_many(spark, path, queries, k=5,
+                                          n_probes=4).toPandas()
+    top1 = (got.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True])
+            .groupby("query_id").head(1))
+    assert len(top1) == 120
+    assert (top1["query_id"].to_numpy()
+            == top1["vec_id"].to_numpy()).all()
+    assert (top1["cosine"] > 0.999).all()
+
+    # batch results == single-query probe results for a sample
+    for qid in src["vec_id"].tolist()[:3]:
+        q = [float(x) for x in
+             src.loc[src["vec_id"] == qid, "embedding"].iloc[0]]
+        single = similarity.probe_ann_index(spark, path, q, k=5, n_probes=4)
+        want = single.toPandas()["vec_id"].tolist()
+        have = (got[got["query_id"] == qid]
+                .sort_values(["cosine", "vec_id"],
+                             ascending=[False, True])["vec_id"].tolist())
+        assert have == want, qid
+
+    # small query sets prune: the index scan carries a bucket
+    # PartitionFilter (literal IN over the probed buckets)
+    plan_df = similarity.probe_ann_index_many(
+        spark, path, queries.limit(5), k=5, n_probes=2,
+        prune_partitions=True)
+    plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted")
+    seg = plan.split("PartitionFilters", 2)
+    assert len(seg) >= 2 and "bucket" in seg[1][:400], plan

@@ -299,3 +299,80 @@ def test_row_index_bit_unaligned_groups(tmp_path):
     # positions carry the real bit offset (150 % 8 == 6) for bool streams
     ri = orc_reader.read_row_index(p)
     assert ri[0][1][1]["positions"][3] == 6   # decimal PRESENT bit offset
+
+
+def test_stats_keep_inf_bounds_no_misprune(tmp_path, spark):
+    """REGRESSION (r4 advice, high): a double slice containing +/-inf used
+    to publish NO bounds for that slice, and _merge_stats then adopted the
+    finite sibling's bounds — fabricating stripe/file stats that exclude
+    the inf rows, so stats-aware readers silently dropped them. Apache ORC
+    semantics: +/-inf are valid orderable bounds (only NaN omits them)."""
+    inf = float("inf")
+    tbl = pa.table({"v": pa.array([float(i) for i in range(1000)]
+                                  + [inf] * 1000)})
+    p = str(tmp_path / "inf.orc")
+    # one stripe, two stride groups: [0..999] then [inf x 1000]
+    orc_writer.write_orc(tbl, p, stripe_rows=5000, row_index_stride=1000)
+    _, _, stats = orc_reader.read_tail(p, with_stats=True)
+    assert stats[0][1]["min"] == 0.0 and stats[0][1]["max"] == inf
+    # the pruning path must keep the stripe for v >= 1e9 (inf rows match)
+    df = orc_reader.spark_read_orc(spark, [p], predicate=("v", ">=", 1e9))
+    import pyspark.sql.functions as F
+    assert df.filter(F.col("v") >= 1e9).count() == 1000
+    # Apache reader still consumes the file (inf encodes as a fixed64)
+    assert orc.read_table(p).column("v").to_pylist()[-1] == inf
+
+    # two-stripe variant: predicate correctly prunes the finite stripe but
+    # keeps the all-inf one
+    p2 = str(tmp_path / "inf2.orc")
+    orc_writer.write_orc(tbl, p2, stripe_rows=1000)
+    plans, _, _, _, n_pruned = orc_reader._plan_stripes(
+        [p2], predicate=("v", ">=", 1e9))
+    assert n_pruned == 1 and len(plans) == 1
+
+
+def test_stats_nan_poisons_merged_bounds(tmp_path):
+    """NaN is unorderable: a slice holding NaN publishes no bounds, and the
+    merge with a finite slice must stay unknown (never adopt the finite
+    side), so readers fall back to scanning — exact, just unpruned."""
+    tbl = pa.table({"v": pa.array([float(i) for i in range(1000)]
+                                  + [float("nan")] * 10)})
+    p = str(tmp_path / "nan.orc")
+    orc_writer.write_orc(tbl, p, stripe_rows=5000, row_index_stride=1000)
+    _, _, stats = orc_reader.read_tail(p, with_stats=True)
+    assert stats[0][1]["min"] is None and stats[0][1]["max"] is None
+    plans, _, _, _, n_pruned = orc_reader._plan_stripes(
+        [p], predicate=("v", ">=", 1e9))
+    assert n_pruned == 0   # unknown bounds never prune
+
+    # direct merge-unit check: unknown side poisons, empty side doesn't
+    fin = {"n": 5, "has_null": False, "kind": "double", "min": 1.0, "max": 2.0}
+    unk = {"n": 3, "has_null": False, "kind": None, "min": None, "max": None}
+    emp = {"n": 0, "has_null": False, "kind": None, "min": None, "max": None}
+    assert orc_writer._merge_stats(fin, unk)["min"] is None
+    assert orc_writer._merge_stats(unk, fin)["max"] is None
+    assert orc_writer._merge_stats(fin, emp)["min"] == 1.0
+    assert orc_writer._merge_stats(emp, fin)["max"] == 2.0
+
+
+@pytest.mark.parametrize("comp", ["zstd", "snappy", "lz4"])
+def test_write_side_modern_compressions(tmp_path, comp):
+    """Write-side SNAPPY/LZ4/ZSTD sections (r4 had them decode-only): our
+    files must read bit-identically through BOTH the Apache ORC reader
+    (pyarrow.orc — validates the on-wire codec bytes) and our own reader
+    (validates the decode symmetry), including under a row index."""
+    t = _mixed_table()
+    p = str(tmp_path / f"ours_{comp}.orc")
+    orc_writer.write_orc(t, p, compression=comp, stripe_rows=1500,
+                         row_index_stride=700)
+    back_apache = orc.read_table(p)
+    back_ours = orc_reader.read_orc(p)
+    for name in t.column_names:
+        e = t.column(name).combine_chunks()
+        assert back_apache.column(name).combine_chunks().cast(e.type) \
+            .equals(e), f"apache/{comp}/{name}"
+        assert back_ours.column(name).combine_chunks().cast(e.type) \
+            .equals(e), f"ours/{comp}/{name}"
+    # postscript really claims the requested kind (not silently zlib)
+    ps, _ = orc_reader.read_tail(p)
+    assert ps["compression"] == {"snappy": 2, "lz4": 4, "zstd": 5}[comp]

@@ -113,3 +113,93 @@ def test_pipeline_stride_pruned_decode(spark, tmp_path):
     pd.testing.assert_frame_equal(exp.reset_index(drop=True),
                                   got[exp.columns.tolist()].reset_index(drop=True),
                                   check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# ORC-file row-group skipping (spark_read_orc stride pruning)
+# ---------------------------------------------------------------------------
+
+
+def _orc_stride_table(n=8000, seed=11):
+    """Sorted key + every stream family that needs positional slicing:
+    nullable values (PRESENT bits), booleans (bit DATA), strings (direct
+    slab + LENGTH), floats (raw), timestamps (DATA+SECONDARY), and a
+    nested list (child LENGTH/DATA + per-level PRESENT)."""
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array([None if i % 7 == 0 else float(i) * 0.5
+                       for i in range(n)]),
+        "b": pa.array([None if i % 11 == 0 else bool(i % 3)
+                       for i in range(n)]),
+        "s": pa.array([f"row-{i}-{'x' * (i % 5)}" for i in range(n)]),
+        "ts": pa.array(np.int64(1.7e15) + rng.integers(0, 10**10, n),
+                       type=pa.timestamp("us")),
+        "ls": pa.array([[i, i + 1][: i % 3] if i % 6 else None
+                        for i in range(n)], type=pa.list_(pa.int64())),
+    })
+
+
+def test_spark_read_orc_row_group_skipping(spark, tmp_path):
+    """A point/range predicate decodes ONLY the covering row-group range of
+    surviving stripes — not the whole stripe — with exact values. Stride
+    900 is deliberately not a multiple of 8, so sliced bit streams start
+    mid-byte (RowIndexEntry bit offsets are load-bearing)."""
+    from orc_format_spark import orc_reader, orc_writer
+    t = _orc_stride_table()
+    p = str(tmp_path / "strided.orc")
+    # one stripe of 8000 rows, 9 groups of 900 (last 800)
+    orc_writer.write_orc(t, p, stripe_rows=8000, row_index_stride=900)
+
+    # range predicate inside groups 2..3: only 2 of 9 groups decoded
+    got = orc_reader.spark_read_orc(
+        spark, [p], predicate=("k", "between", (2000, 3000))).toPandas()
+    assert len(got) == 1800, f"expected 2 groups x 900 rows, got {len(got)}"
+    lo = 1800  # g0 = 2
+    exp = t.slice(lo, 1800).to_pandas()
+    got = got.sort_values("k", ignore_index=True)
+    for c in t.column_names:
+        e = exp[c].astype("datetime64[ns]") if c == "ts" else exp[c]
+        pd.testing.assert_series_equal(got[c], e, check_names=False)
+
+    # point lookup: a single group survives
+    got1 = orc_reader.spark_read_orc(
+        spark, [p], predicate=("k", "=", 4000)).toPandas()
+    assert len(got1) == 900
+    assert got1["k"].min() == 3600 and got1["k"].max() == 4499
+    # exact residual-filter semantics on top
+    row = got1[got1["k"] == 4000]
+    assert len(row) == 1 and row["s"].iloc[0] == f"row-4000-{'x' * (4000 % 5)}"
+
+    # no group can match: the stripe yields nothing at all
+    got0 = orc_reader.spark_read_orc(
+        spark, [p], predicate=("k", "=", 10**9)).toPandas()
+    assert len(got0) == 0
+
+    # projection composes with stride pruning
+    got2 = orc_reader.spark_read_orc(
+        spark, [p], columns=["s", "b"],
+        predicate=("k", "between", (7300, 7400))).toPandas()
+    # group 8 is the ragged last group: rows 7200..7999 = 800 rows
+    assert list(got2.columns) == ["s", "b"] and len(got2) == 800
+
+
+def test_spark_read_orc_stride_skip_last_group_and_multistripe(spark, tmp_path):
+    """Range covering the ragged LAST group (800 rows), and a predicate
+    spanning a stripe boundary across two stripes with different surviving
+    group ranges."""
+    from orc_format_spark import orc_reader, orc_writer
+    t = _orc_stride_table()
+    p = str(tmp_path / "strided2.orc")
+    orc_writer.write_orc(t, p, stripe_rows=4000, row_index_stride=900)
+    # stripes: [0..3999] (5 groups: 900x4+400), [4000..7999]
+    got = orc_reader.spark_read_orc(
+        spark, [p], predicate=("k", "between", (3900, 4100))).toPandas()
+    got = got.sort_values("k", ignore_index=True)
+    # stripe 1: last group only (rows 3600..3999); stripe 2: group 0
+    assert got["k"].min() == 3600 and got["k"].max() == 4899
+    assert len(got) == 400 + 900
+    exp = t.slice(3600, 1300).to_pandas()
+    for c in t.column_names:
+        e = exp[c].astype("datetime64[ns]") if c == "ts" else exp[c]
+        pd.testing.assert_series_equal(got[c], e, check_names=False)
