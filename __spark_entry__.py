@@ -245,23 +245,26 @@ def q_orc_pruned_read(spark, sf_dir):
     and — new r5 — ROW-GROUP SKIPPING inside the surviving stripe (the
     RowIndexEntry positions slice each stream to the covering stride range,
     so only 500 of the stripe's 2000 rows decode); the residual filter
-    keeps values exact."""
+    keeps values exact. The write is DISTRIBUTED (spark_write_orc over a
+    range-partitioned sort — the 100-TB layout: each task writes one
+    sorted .orc via this writer), so planning prunes most FILES outright
+    from their tails before stripe/row-group pruning kicks in."""
     _pin(spark)
-    import tempfile, os
-    import pyarrow.parquet as pq
+    import glob
+    import tempfile
     from orc_format_spark import orc_reader, orc_writer
-    tbl = pq.read_table(f"{sf_dir}/events.parquet",
-                        columns=["event_id", "ts", "user_id", "event_type",
-                                 "value"])
-    tbl = tbl.sort_by("event_id")
-    path = os.path.join(tempfile.mkdtemp(prefix="orcpr"), "events.orc")
-    orc_writer.write_orc(tbl, path, compression="zstd", stripe_rows=2000,
-                         row_index_stride=500)
+    df = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="orcpr")
+    orc_writer.spark_write_orc(
+        df.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        out, compression="zstd", stripe_rows=2000, row_index_stride=500)
+    paths = sorted(glob.glob(out + "/*.orc"))
     lo, hi = 3000, 3199
-    df = orc_reader.spark_read_orc(
-        spark, [path], columns=["event_id", "event_type"],
+    got = orc_reader.spark_read_orc(
+        spark, paths, columns=["event_id", "event_type"],
         predicate=("event_id", "between", (lo, hi)))
-    return df.filter(F.col("event_id").between(lo, hi))
+    return got.filter(F.col("event_id").between(lo, hi))
 
 
 def q_rle_delta_event_id(spark, sf_dir):

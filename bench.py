@@ -80,10 +80,18 @@ def worker(master: str, data_path: str, stripe_rows: int) -> None:
     t0 = time.perf_counter()
     _encode_once(spark, df, stripe_rows)  # warmup (cold workers)
     cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    stats = _encode_once(spark, df, stripe_rows)
-    dt = time.perf_counter() - t0
-    print(json.dumps({"master": master, "sec": dt, "cold_sec": round(cold, 2),
+    # best-of-2 measured runs, BACK-TO-BACK (hot runs are stable within
+    # ~5%; see the round-5 idle-cooling note in BENCH.md) — halves the
+    # per-leg noise a single shot is exposed to
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stats = _encode_once(spark, df, stripe_rows)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({"master": master, "sec": dt,
+                      "runs": [round(t, 2) for t in times],
+                      "cold_sec": round(cold, 2),
                       "turns_per_sec": stats["turns"] / dt, **stats}))
     spark.stop()
 
@@ -92,8 +100,12 @@ def _loadavg() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
-def _wait_idle(max_load: float = 3.0, timeout: float = 180.0) -> None:
-    """Let residual load from the previous JVM drain before measuring."""
+def _wait_idle(max_load: float = 3.0, timeout: float = 75.0) -> None:
+    """Let residual load from the previous JVM drain before measuring.
+    The 1-min loadavg decays with a ~1-min time constant, so ~75 s absorbs
+    OUR OWN just-finished leg; a longer wait only helps against sustained
+    external load, which the interleaved legs + medians already handle —
+    and an unbounded gate would balloon the driver's bench wall-clock."""
     t0 = time.time()
     while time.time() - t0 < timeout:
         if _loadavg() <= max_load:
@@ -201,7 +213,15 @@ def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
     r8, _ = best_of("local[8]", burners=0, n_runs=1)
     ctx, _ = best_of("local[32]", burners=0, n_runs=1)
     ratio = _4N_CORES / _N_CORES
-    eff_raw = (n4["turns_per_sec"] / raw_n["turns_per_sec"]) / ratio
+    # paired analysis: each interleaved (N_i, 4N_i) pair shares its time
+    # window, so the per-pair ratio cancels common-mode ambient load; the
+    # MEDIAN over pairs is the headline raw efficiency (one loaded window
+    # skews one pair, not the median). Ratio-of-medians and best-pair ride
+    # along as cross-checks.
+    pair_effs = [round((f["turns_per_sec"] / n["turns_per_sec"]) / ratio, 3)
+                 for n, f in zip(raw_n_runs, n4_runs)]
+    eff_raw = sorted(pair_effs)[(len(pair_effs) - 1) // 2]
+    eff_raw_medians = (n4["turns_per_sec"] / raw_n["turns_per_sec"]) / ratio
     eff_ctl = (n4["turns_per_sec"] / ctl_n["turns_per_sec"]) / ratio
     best_n = min(raw_n_runs, key=lambda r: r["sec"])
     best_4n = min(n4_runs, key=lambda r: r["sec"])
@@ -231,6 +251,8 @@ def run_scaling(repeats: int = SCALING_REPEATS) -> dict:
             "core_seconds_4N": round(core_s_4n, 1),
             "core_seconds_ratio": round(core_s_n / core_s_4n, 3),
             "scaling_efficiency_raw": round(eff_raw, 3),
+            "scaling_pair_efficiencies": pair_effs,
+            "scaling_efficiency_raw_medians": round(eff_raw_medians, 3),
             "scaling_efficiency_raw_best": round(eff_raw_best, 3),
             "scaling_efficiency": round(eff_ctl, 3),
             "pair_8_32_raw": {
@@ -267,13 +289,17 @@ def main() -> None:
     # one-time per-worker cost since r3)
     _encode_once(spark, df)
 
-    # best-of-2 with a load cooldown: the local[32] headline is hostage to
-    # this VM's memory-system collapse under ambient load (measured 45-129k
-    # turns/s run-to-run while the per-worker local[8] legs hold 103-130k);
-    # min wall = least host interference. Both runs recorded.
+    # best-of-2, BACK-TO-BACK on purpose: sleeping between runs makes the
+    # NEXT run 2-4x slower on this VM (idle lets the host reclaim freed
+    # pages; re-faulting them is the measured 30-70s cold-memory
+    # pathology — reproduced: back-to-back encodes hold 4.5-7.9 s while
+    # the same encode after a 75 s idle gate takes 35-59 s). So: gate on
+    # ambient load ONCE before the warmup, then keep the session hot
+    # through every measured leg. Both runs recorded.
+    _wait_idle()
+    _encode_once(spark, df)  # re-warm right after the gate
     encode_runs = []
     for _ in range(2):
-        _wait_idle()
         t0 = time.perf_counter()
         enc_stats = _encode_once(spark, df)
         encode_runs.append(round(time.perf_counter() - t0, 2))
@@ -290,8 +316,7 @@ def main() -> None:
     # rich agent-transcript shape: + tool_calls array<struct<call_id,
     # fn:struct<name, args:map>, at:timestamp>> through the recursive
     # nested flatten (per-element present / array<array<string>> /
-    # array<timestamp> leaves)
-    _wait_idle()
+    # array<timestamp> leaves). No idle gate: stay hot (see above).
     t0 = time.perf_counter()
     rich_stats = _encode_once(spark, transcripts.enrich(df))
     queries["encode_rich_transcripts"] = time.perf_counter() - t0
@@ -300,9 +325,9 @@ def main() -> None:
     # oracle-suite queries at SF_DIR
     for name in ("roundtrip_events", "roundtrip_lineitem", "fsst_doc_text",
                  "dedup_exact", "text_quality", "ann_topk", "dedup_minhash",
-                 "stride_pruned_lookup", "embedding_dups", "ann_lsh_topk"):
+                 "stride_pruned_lookup", "embedding_dups", "ann_lsh_topk",
+                 "ann_batch_probe", "orc_pruned_read"):
         fn = entrymod.queries()[name]
-        _wait_idle(max_load=4.0, timeout=30.0)   # bounded per-query gate
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         queries[name] = time.perf_counter() - t0

@@ -73,8 +73,9 @@ def test_random_nested_table_orc_interop(tmp_path, seed):
         cols[f"c{i}"] = pa.array([gen_val(r, t) for _ in range(30)], type=t)
     tbl = pa.table(cols)
     path = str(tmp_path / "fz.orc")
+    comp = r.choice(["none", "zlib", "zstd", "snappy", "lz4"])  # r5: all
     with open(path, "wb") as f:
-        f.write(orc_writer.write_orc_bytes(tbl))
+        f.write(orc_writer.write_orc_bytes(tbl, compression=comp))
     back = orc_reader.read_orc(path)
     assert back.cast(tbl.schema).to_pylist() == tbl.to_pylist()
     pao = pytest.importorskip("pyarrow.orc")
@@ -99,3 +100,68 @@ def test_random_nested_table_apache_writes_we_read(tmp_path, seed):
     pao.write_table(tbl, path)
     back = orc_reader.read_orc(path)
     assert back.cast(tbl.schema).to_pylist() == tbl.to_pylist()
+
+
+def _slice_decode(path, g0, g1, stride):
+    """Decode ONLY row groups [g0, g1) of the file's single stripe through
+    the row-group slicing machinery (the path spark_read_orc predicates
+    use), returning an Arrow table."""
+    from orc_format_spark import orc_reader as R
+    ps, footer = R.read_tail(path)
+    comp, types = ps["compression"], footer["types"]
+    si = footer["stripes"][0]
+    raw = open(path, "rb").read()
+    off, ilen, dlen, flen = (si["offset"], si.get("indexLength", 0),
+                             si["dataLength"], si["footerLength"])
+    sf = R._parse_stripe_footer(
+        R._decompress(raw[off + ilen + dlen:off + ilen + dlen + flen], comp))
+    stripe_buf = raw[off:off + ilen + dlen]
+    n_rows = si["numberOfRows"]
+    n_groups = (n_rows + stride - 1) // stride
+    ri, pos = {}, 0
+    for st in sf["streams"]:
+        if st["kind"] == R.ROW_INDEX:
+            ri[st["column"]] = R._parse_row_index(
+                R._decompress(stripe_buf[pos:pos + st["length"]], comp))
+        pos += st["length"]
+    entry_offs = {cid: R._entry_offsets(ri[cid], R._streams_for(sf, cid),
+                                        types[cid], comp) for cid in ri}
+    buf, sf2, skips = R._slice_stripe_groups(stripe_buf, sf, types,
+                                             entry_offs, g0, g1, n_groups)
+    root = types[0]
+    nr = min(g1 * stride, n_rows) - g0 * stride
+    arrays = [R._decode_column(buf, sf2, cid, types[cid], nr, comp, types,
+                               skips)
+              for cid in root["subtypes"]]
+    return pa.table(dict(zip(root["fieldNames"], arrays))), nr
+
+
+@pytest.mark.parametrize("seed", [501, 517, 523, 541])
+def test_random_row_group_slices_match_full_table(tmp_path, seed):
+    """FUZZ of the r5 row-group slicing: random nested schemas, random
+    non-multiple-of-8 strides, every write-side compression — EVERY
+    contiguous group range decoded through the slicing path must equal the
+    corresponding row slice of the source table (bit offsets, spilled tail
+    bits, ragged last groups, nested child streams all in play)."""
+    r = random.Random(seed)
+    n = r.randint(1500, 3000)
+    types = [gen_type(r, 2) for _ in range(r.randint(1, 3))]
+    cols = {"id": pa.array(range(n), type=pa.int64())}
+    for i, t in enumerate(types):
+        cols[f"c{i}"] = pa.array([gen_val(r, t) for _ in range(n)], type=t)
+    tbl = pa.table(cols)
+    stride = r.choice([137, 251, 300, 450, 701])
+    comp = r.choice(["none", "zlib", "zstd", "snappy", "lz4"])
+    path = str(tmp_path / "rg.orc")
+    orc_writer.write_orc(tbl, path, compression=comp, stripe_rows=n,
+                         row_index_stride=stride)
+    n_groups = (n + stride - 1) // stride
+    ranges = {(0, 1), (n_groups - 1, n_groups), (0, n_groups)}
+    for _ in range(4):
+        g0 = r.randrange(n_groups)
+        ranges.add((g0, r.randint(g0 + 1, n_groups)))
+    for g0, g1 in sorted(ranges):
+        got, nr = _slice_decode(path, g0, g1, stride)
+        exp = tbl.slice(g0 * stride, nr)
+        assert got.cast(exp.schema).to_pylist() == exp.to_pylist(), \
+            (comp, stride, g0, g1)
