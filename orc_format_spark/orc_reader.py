@@ -273,10 +273,11 @@ def _zstd_decompress(chunk: bytes) -> bytes:
 
 def _decompress(buf: bytes, compression: int) -> bytes:
     """ORC section decompression: NONE(0) passthrough; ZLIB(1) raw DEFLATE,
-    SNAPPY(2) and LZ4(4) via our pure-Python block decoders, ZSTD(5) via
-    pyarrow's bundled codec — all under the 3-byte is-original chunk
-    framing. The reference `todo!()`s SNAPPY/LZO (decompress/mod.rs:80-88);
-    LZO(3) still raises here (no producer or library in this environment)."""
+    SNAPPY(2), LZO(3) and LZ4(4) via our pure-Python block decoders, ZSTD(5)
+    via pyarrow's bundled codec — all under the 3-byte is-original chunk
+    framing. The reference `todo!()`s SNAPPY/LZO (decompress/mod.rs:80-93);
+    our LZO1X is cross-validated against aircompressor's Java codec (the
+    implementation Hadoop/Spark ORC itself uses) in tests/test_lzo.py."""
     if compression == 0:
         return bytes(buf)
     if compression == 1:
@@ -284,15 +285,17 @@ def _decompress(buf: bytes, compression: int) -> bytes:
     if compression == 2:
         from .codecs import lz77
         return _framed(bytes(buf), lz77.snappy_decompress)
+    if compression == 3:
+        from .codecs import lz77
+        return _framed(bytes(buf), lz77.lzo1x_decompress)
     if compression == 4:
         from .codecs import lz77
         return _framed(bytes(buf), lz77.lz4_decompress)
     if compression == 5:
         return _framed(bytes(buf), _zstd_decompress)
     raise NotImplementedError(
-        f"ORC compression kind {compression}: only NONE/ZLIB/SNAPPY/LZ4/ZSTD "
-        "are supported (LZO has no validating producer or library in this "
-        "environment — see README 'Unsupported features')")
+        f"ORC compression kind {compression} is not one of "
+        "NONE/ZLIB/SNAPPY/LZO/LZ4/ZSTD")
 
 
 # ---------------------------------------------------------------------------

@@ -443,11 +443,16 @@ def _section_compressor(comp_kind: int):
     ZLIB stays on the pinned-deterministic pure-Python deflate; SNAPPY(2),
     LZ4(4, raw block format) and ZSTD(5) use pyarrow's bundled codecs —
     the same codecs the Apache C++ reader links, so write-side output is
-    validated by the same pyarrow.orc interop tests as the zlib path."""
+    validated by the same pyarrow.orc interop tests as the zlib path.
+    LZO(3) uses our pure-Python LZO1X block codec (no library provides it),
+    cross-validated against Spark's own aircompressor Java codec."""
     if comp_kind == 0:
         return lambda raw: raw
     if comp_kind == 1:
         return deflate.compress
+    if comp_kind == 3:
+        from .codecs import lz77
+        return lambda raw: deflate.frame(raw, lz77.lzo1x_compress)
     codec = pa.Codec({2: "snappy", 4: "lz4_raw"}.get(comp_kind, "zstd"),
                      compression_level=3 if comp_kind == 5 else None)
     return lambda raw: deflate.frame(
@@ -475,7 +480,7 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
     our files through any stats-aware reader (including
     orc_reader.spark_read_orc's predicate hint)."""
     comp_kind = {"none": 0, "uncompressed": 0, "zlib": 1, "snappy": 2,
-                 "lz4": 4, "zstd": 5}[compression]
+                 "lzo": 3, "lz4": 4, "zstd": 5}[compression]
     section = _section_compressor(comp_kind)
 
     nodes = _build_type_nodes(tbl.schema)
