@@ -611,6 +611,31 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.extract_metadata(blobs, "blob", "blob_id")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """EXACT word-3-gram Jaccard near-dup pairs via the prefix-filtered
+    set-similarity join (dedup.ngram_jaccard_pairs) — the exact flavor
+    next to dedup_minhash's approximate one. Oracle: all-pairs word-3-gram
+    Jaccard in DuckDB; the prefix filter is recall-1.0 by the
+    |a∩b| >= t*|a| bound, so the two must agree pair-for-pair. The
+    corpus' qualifying pairs all sit at j >= 0.9 with nothing in
+    [0.5, 0.9), so threshold 0.8 is nowhere near a boundary tie."""
+    _pin(spark)
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.8)
+    return pairs.select("id_a", "id_b",
+                        F.floor(F.col("jaccard") * 1000).cast("long")
+                        .alias("jac_x1000"))
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish token counts per doc (text.token_counts),
+    all JVM regexp_count/split — the token-budget precursor every
+    training-data pipeline runs before tokenization proper."""
+    _pin(spark)
+    df = _read(spark, sf_dir, "documents")
+    return text.token_counts(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_events": q_roundtrip_events,
@@ -645,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
     }
 
 
@@ -768,4 +795,34 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta":
             "SELECT doc_id AS blob_id, 'image' AS kind, 8 AS width, 6 AS height, "
             "3 AS channels, CAST(158 AS BIGINT) AS n_bytes FROM documents",
+        # all-pairs exact word-3-gram Jaccard; the Spark side's prefix
+        # filter is recall-1.0, so candidates-only must equal all-pairs
+        "ngram_jaccard":
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), "
+            "sets AS (SELECT doc_id, "
+            "list_distinct([array_to_string(w[i:i+2], ' ') "
+            "for i in range(1, len(w) - 1)]) AS sh "
+            "FROM toks WHERE len(w) >= 3), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM sets), "
+            "ex AS (SELECT doc_id, unnest(sh) AS g FROM sets), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS ninter FROM ex a "
+            "JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, CAST(floor(CAST(ninter AS DOUBLE) "
+            "/ (ca.n + cb.n - ninter) * 1000) AS BIGINT) AS jac_x1000 "
+            "FROM inter JOIN sz ca ON ca.doc_id = id_a "
+            "JOIN sz cb ON cb.doc_id = id_b "
+            "WHERE CAST(ninter AS DOUBLE) / (ca.n + cb.n - ninter) >= 0.8",
+        "token_count":
+            "WITH b AS (SELECT doc_id, length(text) AS nc, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_ws, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_bpe "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens, "
+            "CAST(n_bpe AS BIGINT) AS n_bpe_tokens, "
+            "CAST(CASE WHEN n_bpe > 0 THEN floor(100 * nc / n_bpe) "
+            "ELSE 0 END AS BIGINT) AS chars_per_token_x100 FROM b",
     }

@@ -352,3 +352,86 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str = "vec_id",
                          F.lit(0.0), lambda acc, x: acc + x)
     return (pairs.select("id_a", "id_b", cosine.alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Exact word-n-gram Jaccard (prefix-filtered set-similarity join)
+# ---------------------------------------------------------------------------
+
+def word_ngram_sets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """doc -> distinct word-k-gram set (array<string>), pure JVM built-ins
+    (split / transform / slice / concat_ws under whole-stage codegen — no
+    Python anywhere). Docs with fewer than ``k`` whitespace tokens yield an
+    empty set and therefore never pair."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    sh = F.when(n >= k, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), sh.alias("ngrams"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """EXACT near-duplicate pairs by word-k-gram Jaccard >= threshold —
+    the exact flavor of the minhash pipeline, as a prefix-filtered set-
+    similarity join (Bayardo et al., WWW'07 "Scaling Up All Pairs
+    Similarity Search"; Chaudhuri et al. prefix filtering), not an
+    all-pairs compare:
+
+      1. per-doc distinct k-gram sets (one JVM pass);
+      2. global n-gram document frequencies (groupBy count — the "total
+         order by rarity" the prefix principle needs);
+      3. each doc indexes only its PREFIX: the (|s| - ceil(t*|s|) + 1)
+         globally-rarest n-grams. Jaccard(a,b) >= t implies
+         |a ∩ b| >= t*|a|, so any qualifying pair must collide inside
+         both prefixes — recall is exactly 1.0, no approximation;
+      4. candidate join on prefix n-grams (rarest-first means bucket
+         sizes are small BY CONSTRUCTION — the anti-skew property falls
+         out of the ordering rather than a cap), plus the |a| >= t*|b|
+         length filter both ways;
+      5. exact verify on full sets JVM-side (array_intersect).
+
+    At 100 TB this is the published exact path: shuffles carry (gram, id,
+    set-size) for prefix tokens only, pairs never materialize beyond
+    prefix collisions, and the heavy boilerplate n-grams every doc shares
+    sit at the END of the rarity order, outside every prefix."""
+    from pyspark.sql import Window
+
+    sets = word_ngram_sets(df, text_col, id_col, k).where(F.size("ngrams") > 0)
+    sz = sets.select(id_col, F.size("ngrams").alias("setsz"), "ngrams")
+    tok = sz.select(id_col, "setsz", F.explode("ngrams").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count("*").alias("gdf"))
+    # rarity rank within each doc; epsilon keeps ceil() from overshooting
+    # on exact float products (t*|s| = integer) which would SHRINK the
+    # prefix below the safe length
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("gdf", "g"))
+    prefix_len = F.col("setsz") - F.ceil(
+        F.lit(threshold) * F.col("setsz") - F.lit(1e-9)) + 1
+    prefix = (tok.join(dfreq, "g")
+              .withColumn("rk", rk)
+              .where(F.col("rk") <= prefix_len)
+              .select(id_col, "setsz", "g"))
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (l.join(r, "g")
+            .where((F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                   & (F.col("l.setsz") >= threshold * F.col("r.setsz"))
+                   & (F.col("r.setsz") >= threshold * F.col("l.setsz")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    verify = (cand
+              .join(sets.select(F.col(id_col).alias("id_a"),
+                                F.col("ngrams").alias("sh_a")), "id_a")
+              .join(sets.select(F.col(id_col).alias("id_b"),
+                                F.col("ngrams").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (verify.select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

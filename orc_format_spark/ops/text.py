@@ -175,3 +175,34 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
     return df.select(id_col, text_col).mapInPandas(
         fp, schema=f"{id_col} long, fingerprint long")
+
+
+# BPE-ish pre-tokenization pattern (letter runs | 1-3 digit runs |
+# single non-alnum glyphs), an ASCII approximation of the GPT-2/cl100k
+# pre-tokenizer regex — those use \p{L}/\p{N} plus lookaheads, which RE2
+# (the DuckDB oracle's engine) rejects; this subset parses identically in
+# Java regex and RE2 so the Spark plan and the SQL oracle count the same
+# tokens.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts for pipeline budgeting: whitespace tokens and
+    BPE-ish subword-precursor tokens (regexp_count — JVM codegen, no
+    Python), plus chars-per-BPE-token x100 as an integer compressibility
+    signal (LLM tokenizers average ~4 chars/token on English prose;
+    far-off values flag junk/binary-ish docs)."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    bpe = F.regexp_count(t, F.lit(BPE_ISH_PATTERN))
+    chars_per_100 = F.when(bpe > 0,
+                           (F.lit(100) * F.length(t)).cast("long")
+                           / bpe).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.floor(chars_per_100).cast("long").alias("chars_per_token_x100"),
+    )

@@ -381,3 +381,89 @@ def test_probe_ann_index_many_batch_matches_single(spark, emb, tmp_path):
         plan_df._jdf.queryExecution(), "formatted")
     seg = plan.split("PartitionFilters", 2)
     assert len(seg) >= 2 and "bucket" in seg[1][:400], plan
+
+
+def _brute_ngram_jaccard(texts, k, t):
+    """All-pairs word-k-gram Jaccard, independent implementation."""
+    sets = {}
+    for i, s in texts.items():
+        w = s.lower().split()
+        if len(w) >= k:
+            sets[i] = {" ".join(w[j:j + k]) for j in range(len(w) - k + 1)}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            j = len(a & b) / len(a | b)
+            if j >= t:
+                out.add((ids[x], ids[y]))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_ngram_jaccard_matches_bruteforce(spark, threshold):
+    """The prefix-filtered set-similarity join is EXACT: against an
+    independent all-pairs implementation it must agree pair-for-pair at
+    any threshold (recall 1.0 — a lost pair means the prefix length bound
+    is wrong; an extra pair means the verify is wrong)."""
+    import random
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    base_docs = []
+    for i in range(30):
+        doc = rng.choices(vocab, k=rng.randrange(3, 30))
+        base_docs.append(doc)
+        texts[i] = " ".join(doc)
+    # planted near-dups: copy with 0-2 word edits
+    for i in range(30, 45):
+        doc = list(rng.choice(base_docs))
+        for _ in range(rng.randrange(0, 3)):
+            doc[rng.randrange(len(doc))] = rng.choice(vocab)
+        texts[i] = " ".join(doc)
+    texts[45] = "short one"          # < k tokens: must never pair
+    texts[46] = ""                   # empty
+    df = spark.createDataFrame(
+        [(i, s) for i, s in texts.items()], "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        df, k=3, threshold=threshold).collect()}
+    exp = _brute_ngram_jaccard(texts, 3, threshold)
+    assert got == exp, (sorted(got - exp), sorted(exp - got))
+    assert exp, "vacuous test: plant produced no qualifying pairs"
+
+
+def test_ngram_jaccard_integer_threshold_boundary(spark):
+    """t*|s| landing exactly on an integer is where a float-ceil overshoot
+    would shrink the prefix below the safe length: |s|=10, t=0.8 needs
+    prefix 3 (10 - 8 + 1), and a pair at exactly j=0.8 must survive."""
+    # 12 words -> 10 distinct 3-grams each; sharing the first 10 words
+    # gives 8 shared 3-grams, union 12 -> j = 8/12; to hit exactly 0.8
+    # use sets of size 9 with 8 shared: j = 8/10 = 0.8
+    a = " ".join(f"a{i}" for i in range(11))          # 9 3-grams
+    b = " ".join([f"a{i}" for i in range(10)] + ["zz"])  # differs in last
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    exp = _brute_ngram_jaccard({0: a, 1: b}, 3, 0.8)
+    got = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        df, k=3, threshold=0.8).collect()}
+    assert got == exp
+
+
+def test_token_counts_values(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world!  This has 12345 in it."),
+         (1, ""),
+         (2, "   "),
+         (3, "one"),
+         (4, "a-b")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.token_counts(df).collect()}
+    # doc 0: ws tokens = 7; bpe-ish: Hello , world ! This has 123 45 in it .
+    assert rows[0].n_ws_tokens == 7
+    assert rows[0].n_bpe_tokens == 11
+    assert rows[1].n_ws_tokens == 0 and rows[1].n_bpe_tokens == 0
+    assert rows[1].chars_per_token_x100 == 0
+    assert rows[2].n_ws_tokens == 0 and rows[2].n_bpe_tokens == 0
+    assert rows[3].n_ws_tokens == 1 and rows[3].n_bpe_tokens == 1
+    assert rows[3].chars_per_token_x100 == 300
+    assert rows[4].n_bpe_tokens == 3          # a | - | b
