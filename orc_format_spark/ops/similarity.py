@@ -199,11 +199,13 @@ def probe_ann_index_many(spark, path: str, queries: DataFrame, k: int = 10,
     index vector lives in exactly one bucket no post-join dedup is needed;
     (3) exact cosine ranks survivors per query via a window top-k.
 
-    Small query sets (<=1000 rows, or ``prune_partitions=True``) push the
-    distinct probed buckets into the index scan as a literal IN — parquet
-    partition pruning reads only those bucket directories — and broadcast
-    the exploded query side. At millions of queries every bucket is hit
-    anyway, so the plain shuffle join is the right plan and is used.
+    When the query set probes few DISTINCT buckets (<=1000, decided by one
+    small distinct-limit job on the skinny bucket column — not by query
+    count, which is a proxy), the buckets are pushed into the index scan
+    as a literal IN — parquet partition pruning reads only those bucket
+    directories — and the exploded query side is broadcast. At millions of
+    queries every bucket is hit anyway, so the plain shuffle join is the
+    right plan and is used. ``prune_partitions`` forces either path.
     """
     index, meta = load_ann_index(spark, path)
     n_planes, dim = int(meta["n_planes"]), int(meta["dim"])
@@ -238,15 +240,22 @@ def probe_ann_index_many(spark, path: str, queries: DataFrame, k: int = 10,
         schema=f"{query_id_col} long, {query_vec_col} array<float>, "
                "bucket long")
 
-    if prune_partitions is None:
-        prune_partitions = queries.limit(1001).count() <= 1000
-    if prune_partitions:
-        buckets = [r["bucket"]
-                   for r in exploded.select("bucket").distinct().collect()]
-        index = index.where(F.col("bucket").isin(buckets))
-        cand = index.join(F.broadcast(exploded), "bucket")
-    else:
+    if prune_partitions is False:
         cand = index.join(exploded, "bucket")
+    else:
+        # one small job on the skinny bucket column; capped so a huge
+        # query set can't collect an unbounded list driver-side (explicit
+        # prune_partitions=True lifts the cap — caller's responsibility)
+        distinct = exploded.select("bucket").distinct()
+        cap = None if prune_partitions else 1000
+        rows = distinct.collect() if cap is None \
+            else distinct.limit(cap + 1).collect()
+        if cap is None or len(rows) <= cap:
+            index = index.where(
+                F.col("bucket").isin([r["bucket"] for r in rows]))
+            cand = index.join(F.broadcast(exploded), "bucket")
+        else:
+            cand = index.join(exploded, "bucket")
 
     from pyspark.sql.window import Window
     w = Window.partitionBy(query_id_col).orderBy(

@@ -783,9 +783,12 @@ def _plan_stride_groups(sf: dict, stripe_buf: bytes, compression: int,
                         stride: int, n_stripe_rows: int):
     """Row-group pruning plan for one stripe: parse its ROW_INDEX streams,
     keep groups whose per-group ColumnStatistics may match, and return
-    (g0, g1, n_groups, entry_offs) for the contiguous covering range —
-    or None when nothing can be skipped (no index / all groups match) /
-    'empty' when NO group matches (skip the whole stripe)."""
+    (runs, n_groups, entry_offs) where runs is the list of maximal
+    contiguous (g0, g1) group ranges that survive — each run decodes
+    independently, so two matching groups far apart no longer drag the
+    whole span between them through the decoders. None when nothing can
+    be skipped (no index / all groups match) / 'empty' when NO group
+    matches (skip the whole stripe)."""
     ri = {}
     pos = 0
     for st in sf["streams"]:
@@ -809,13 +812,18 @@ def _plan_stride_groups(sf: dict, stripe_buf: bytes, compression: int,
                                 predicate[2])]
     if not keep:
         return "empty"
-    g0, g1 = min(keep), max(keep) + 1
-    if (g0, g1) == (0, n_groups):
+    runs, start = [], keep[0]
+    for prev, g in zip(keep, keep[1:]):
+        if g != prev + 1:
+            runs.append((start, prev + 1))
+            start = g
+    runs.append((start, keep[-1] + 1))
+    if runs == [(0, n_groups)]:
         return None
     entry_offs = {cid: _entry_offsets(ri[cid], _streams_for(sf, cid),
                                       types[cid], compression)
                   for cid in ri}
-    return g0, g1, n_groups, entry_offs
+    return runs, n_groups, entry_offs
 
 
 def _select_fields(col_ids: list, names: list, columns):
@@ -882,12 +890,13 @@ def spark_read_orc(spark, paths: list[str], columns: list[str] | None = None,
                 sf = _parse_stripe_footer(_decompress(
                     stripe_all[row["ilen"] + row["dlen"]:], comp))
                 stripe_buf = stripe_all[:row["ilen"] + row["dlen"]]
-                n_rows, bit_skips = row["rows"], None
+                # row-group skipping INSIDE the surviving stripe: decode
+                # each maximal contiguous run of possibly-matching groups
+                # independently (per the ROW_INDEX per-group stats) — the
+                # whole stripe is the single run when nothing prunes
+                pieces = [(stripe_buf, sf, None, row["rows"])]
                 if (predicate is not None and row["ilen"] > 0 and stride
                         and predicate[0] in names):
-                    # row-group skipping INSIDE the surviving stripe: use
-                    # the ROW_INDEX per-group stats to decode only the
-                    # covering range of possibly-matching groups
                     plan = _plan_stride_groups(
                         sf, stripe_buf, comp, types,
                         col_ids[names.index(predicate[0])], predicate,
@@ -895,19 +904,25 @@ def spark_read_orc(spark, paths: list[str], columns: list[str] | None = None,
                     if plan == "empty":
                         continue          # no group can match: skip stripe
                     if plan is not None:
-                        g0, g1, n_groups, entry_offs = plan
-                        stripe_buf, sf, bit_skips = _slice_stripe_groups(
-                            stripe_buf, sf, types, entry_offs, g0, g1,
-                            n_groups)
-                        n_rows = (min(g1 * stride, row["rows"])
-                                  - g0 * stride)
-                arrays = [
-                    _decode_column(stripe_buf, sf, cid, types[cid],
-                                   n_rows, comp, types, bit_skips)
-                    for cid in sel_ids]
-                out = pa.RecordBatch.from_arrays(arrays, names=sel_names)
-                yield out.cast(sample_schema) \
-                    if out.schema != sample_schema else out
+                        runs, n_groups, entry_offs = plan
+                        pieces = []
+                        for g0, g1 in runs:
+                            buf_r, sf_r, skips_r = _slice_stripe_groups(
+                                stripe_buf, sf, types, entry_offs, g0, g1,
+                                n_groups)
+                            pieces.append(
+                                (buf_r, sf_r, skips_r,
+                                 min(g1 * stride, row["rows"])
+                                 - g0 * stride))
+                for buf_r, sf_r, skips_r, n_rows in pieces:
+                    arrays = [
+                        _decode_column(buf_r, sf_r, cid, types[cid],
+                                       n_rows, comp, types, skips_r)
+                        for cid in sel_ids]
+                    out = pa.RecordBatch.from_arrays(arrays,
+                                                     names=sel_names)
+                    yield out.cast(sample_schema) \
+                        if out.schema != sample_schema else out
 
     return pdf.mapInArrow(decode, schema)
 

@@ -203,3 +203,33 @@ def test_spark_read_orc_stride_skip_last_group_and_multistripe(spark, tmp_path):
     for c in t.column_names:
         e = exp[c].astype("datetime64[ns]") if c == "ts" else exp[c]
         pd.testing.assert_series_equal(got[c], e, check_names=False)
+
+
+def test_spark_read_orc_noncontiguous_group_runs(spark, tmp_path):
+    """Two matching groups FAR apart decode as two independent runs — the
+    span between them is never decoded (the r5 covering-range fallback
+    would have returned 6300 rows here, not 1800)."""
+    from orc_format_spark import orc_reader, orc_writer
+    n = 8000
+    t = _orc_stride_table(n)
+    # marker column: hits only in group 1 (rows 900..1799) and group 7
+    # (rows 6300..7199); everywhere else bounded < 100
+    marker = np.where(
+        ((np.arange(n) // 900) == 1) | ((np.arange(n) // 900) == 7),
+        np.int64(5000), np.arange(n, dtype=np.int64) % 100)
+    t = t.append_column("m", pa.array(marker))
+    p = str(tmp_path / "gaps.orc")
+    orc_writer.write_orc(t, p, stripe_rows=n, row_index_stride=900)
+
+    got = orc_reader.spark_read_orc(
+        spark, [p], predicate=("m", "=", 5000)).toPandas()
+    assert len(got) == 1800, f"expected groups 1 and 7 only, got {len(got)}"
+    got = got.sort_values("k", ignore_index=True)
+    exp = pa.concat_tables([t.slice(900, 900), t.slice(6300, 900)]) \
+        .to_pandas()
+    for c in t.column_names:
+        e = exp[c].astype("datetime64[ns]") if c == "ts" else exp[c]
+        pd.testing.assert_series_equal(got[c], e, check_names=False)
+    # exact residual filter on top still composes
+    assert (got[got["m"] == 5000]["k"].tolist()
+            == list(range(900, 1800)) + list(range(6300, 7200)))
