@@ -326,7 +326,8 @@ def main() -> None:
     for name in ("roundtrip_events", "roundtrip_lineitem", "fsst_doc_text",
                  "dedup_exact", "text_quality", "ann_topk", "dedup_minhash",
                  "stride_pruned_lookup", "embedding_dups", "ann_lsh_topk",
-                 "ann_batch_probe", "orc_pruned_read"):
+                 "ann_batch_probe", "orc_pruned_read", "ngram_jaccard",
+                 "token_count"):
         fn = entrymod.queries()[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()

@@ -364,14 +364,21 @@ def word_ngram_sets(df: DataFrame, text_col: str = "text",
     (split / transform / slice / concat_ws under whole-stage codegen — no
     Python anywhere). Docs with fewer than ``k`` whitespace tokens yield an
     empty set and therefore never pair."""
+    # two projections on purpose: materializing the token array first makes
+    # split() evaluate ONCE per row — inlined into the transform lambda it
+    # re-splits the whole text per gram position (measured 9.2 s -> <1 s on
+    # 5000 docs; CollapseProject keeps the split separate because the alias
+    # is referenced more than once)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n = F.size(toks)
+    tokd = df.select(F.col(id_col), toks.alias("__toks"))
+    tk = F.col("__toks")
+    n = F.size(tk)
     grams = F.transform(
         F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        lambda i: F.concat_ws(" ", F.slice(tk, i, k)))
     sh = F.when(n >= k, F.array_distinct(grams)) \
         .otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), sh.alias("ngrams"))
+    return tokd.select(F.col(id_col), sh.alias("ngrams"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
