@@ -575,6 +575,34 @@ def q_ann_batch_probe(spark, sf_dir):
             .select("query_id", F.col("vec_id").alias("match_id")))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k — the data-adaptive scale path next to LSH:
+    spherical-k-means cells trained on a bounded sample, corpus persisted
+    partitioned by cell, probe reads only the nearest cells. Same planted
+    construction as ``ann_lsh_topk``: 10 exact copies of the query vector
+    share its nearest centroid by construction, so the IVF path MUST
+    return the brute-force top-10, and the oracle is plain exact SQL.
+    Natural-recall and full-probe==exact behavior are pinned by
+    tests/test_ops.py::test_ivf_index_build_probe_and_prune."""
+    _pin(spark)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.orderBy("vec_id").first()
+    query = [float(x) for x in qrow["embedding"]]
+    import pandas as pd
+    planted = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [_PLANT_OFFSET + i for i in range(10)],
+        "embedding": [query] * 10}))
+    uni = emb.unionByName(planted.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")))
+    import os
+    path = os.path.join("spark-warehouse",
+                        f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    similarity.build_ivf_index(uni, path, n_lists=8, seed=42,
+                               train_rows=4096)
+    return (similarity.probe_ivf_index(spark, path, query, k=10, n_probes=3)
+            .select("vec_id"))
+
+
 def q_lang_id(spark, sf_dir):
     _pin(spark)
     df = _read(spark, sf_dir, "documents")
@@ -667,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_batch_probe": q_ann_batch_probe,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
@@ -759,6 +788,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) q "
             "ORDER BY c DESC, e.vec_id ASC LIMIT 10)",
         "ann_lsh_topk":
+            "WITH q AS (SELECT embedding FROM embeddings "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)), "
+            "uni AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT 10000000 + r.i, q.embedding FROM q, range(10) r(i)) "
+            "SELECT vec_id FROM ("
+            "SELECT u.vec_id, list_cosine_similarity(u.embedding, q.embedding) AS c "
+            "FROM uni u, q ORDER BY c DESC, u.vec_id ASC LIMIT 10)",
+        "ann_ivf_topk":
             "WITH q AS (SELECT embedding FROM embeddings "
             "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)), "
             "uni AS (SELECT vec_id, embedding FROM embeddings "

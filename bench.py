@@ -327,7 +327,7 @@ def main() -> None:
                  "dedup_exact", "text_quality", "ann_topk", "dedup_minhash",
                  "stride_pruned_lookup", "embedding_dups", "ann_lsh_topk",
                  "ann_batch_probe", "orc_pruned_read", "ngram_jaccard",
-                 "token_count"):
+                 "token_count", "ann_ivf_topk"):
         fn = entrymod.queries()[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()

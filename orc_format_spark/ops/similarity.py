@@ -133,11 +133,8 @@ def _write_meta(spark, path: str, meta: dict) -> None:
                        base + "/_ann_meta/meta.parquet",
                        filesystem=filesystem)
     except (OSError, pa.ArrowInvalid):
-        spark.createDataFrame(
-            [(meta["n_planes"], meta["seed"], meta["dim"], meta["id_col"],
-              meta["vec_col"])],
-            "n_planes long, seed long, dim long, id_col string, "
-            "vec_col string").coalesce(1).write.mode("overwrite") \
+        spark.createDataFrame(pd.DataFrame({k: [v] for k, v in meta.items()})) \
+            .coalesce(1).write.mode("overwrite") \
             .parquet(path + "/_ann_meta")
 
 
@@ -286,3 +283,188 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,
     return (cand.select(id_col, _cosine_expr(vec_col, query).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
+
+
+# ------------------------- IVF (k-means coarse lists) -----------------------
+# The second classic ANN scale path next to LSH: partition the corpus into
+# n_lists Voronoi cells of spherical-k-means centroids (trained driver-side
+# on a bounded sample, the standard IVF recipe), persist the corpus
+# partitioned by cell, probe only the n_probes nearest cells per query.
+# Vs LSH: data-adaptive cells follow the embedding distribution (clustered
+# real-world embeddings get balanced lists where fixed hyperplanes leave
+# buckets empty), at the cost of a one-off training pass.
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """L2-normalize rows; zero vectors stay zero (cosine 0 to everything)."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def _spherical_kmeans(sample: np.ndarray, n_lists: int, seed: int,
+                      iters: int = 10) -> np.ndarray:
+    """k-means on the unit sphere (cosine metric): k-means++ seeding by
+    cosine distance, Lloyd updates with renormalized means, empty lists
+    reseeded at the worst-covered point. Pure numpy, deterministic in
+    (sample, n_lists, seed)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = np.empty((n_lists, sample.shape[1]))
+    cent[0] = sample[rng.integers(n)]
+    d = np.maximum(1.0 - sample @ cent[0], 0.0)
+    for j in range(1, n_lists):
+        tot = d.sum()
+        idx = rng.choice(n, p=d / tot) if tot > 0 else rng.integers(n)
+        cent[j] = sample[idx]
+        np.minimum(d, np.maximum(1.0 - sample @ cent[j], 0.0), out=d)
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[j] = v / nv
+            else:
+                cent[j] = sample[sims.max(axis=1).argmin()]
+    return cent
+
+
+def _assign_lists(emb: DataFrame, cent: np.ndarray, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Nearest-centroid cell per vector — one matmul per Arrow batch."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = (_unit_rows(v) @ cent.T).argmax(axis=1) \
+                .astype(np.int64)
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, list_id long"
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def build_ivf_index(emb: DataFrame, path: str, n_lists: int = 16,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding", train_rows: int = 32768,
+                    iters: int = 10) -> DataFrame:
+    """Train centroids on a seeded bounded sample (train_rows x dim doubles
+    driver-side — 32 MB at 32k x 128, independent of corpus size), assign
+    every vector distributedly, persist partitioned by ``list_id`` with the
+    centroids riding in ``_ann_meta``. One writer task per list => one
+    well-sized file per cell directory. Returns the reloaded index."""
+    spark = emb.sparkSession
+    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    n = emb.count()
+    frac = min(1.0, 1.2 * train_rows / max(n, 1))
+    samp = (emb.select(vec_col) if frac >= 1.0
+            else emb.select(vec_col).sample(False, frac, seed)) \
+        .limit(train_rows).toPandas()
+    m = _unit_rows(np.vstack(samp[vec_col].to_numpy()).astype(np.float64))
+    cent = _spherical_kmeans(m, n_lists, seed, iters)
+    assigned = _assign_lists(emb, cent, id_col, vec_col)
+    assigned.repartition(F.col("list_id")).write.mode("overwrite") \
+        .partitionBy("list_id").parquet(path)
+    _write_meta(spark, path, {
+        "kind": "ivf", "n_lists": int(n_lists), "dim": int(dim),
+        "seed": int(seed), "id_col": id_col, "vec_col": vec_col,
+        "centroids": cent.ravel().tolist()})
+    return load_ann_index(spark, path)[0]
+
+
+def _ivf_meta(spark, path: str) -> tuple[DataFrame, dict, np.ndarray]:
+    index, meta = load_ann_index(spark, path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{path} is not an IVF index (meta kind "
+                         f"{meta.get('kind')!r})")
+    n_lists, dim = int(meta["n_lists"]), int(meta["dim"])
+    cent = np.asarray(meta["centroids"], dtype=np.float64) \
+        .reshape(n_lists, dim)
+    return index, meta, cent
+
+
+def probe_ivf_index(spark, path: str, query: list[float], k: int = 10,
+                    n_probes: int = 2) -> DataFrame:
+    """Top-k probe: rank cells by centroid similarity driver-side (n_lists
+    dots), push the n_probes nearest cell ids into the scan as a literal IN
+    (parquet partition pruning), exact-rank the survivors."""
+    index, meta, cent = _ivf_meta(spark, path)
+    if len(query) != int(meta["dim"]):
+        raise ValueError(
+            f"query dim {len(query)} != index dim {int(meta['dim'])} "
+            f"({path}): centroids are dimension-specific, a mismatch would "
+            "assign garbage cells instead of failing")
+    q = _unit_rows(np.asarray([query], dtype=np.float64))[0]
+    lists = np.argsort(-(cent @ q), kind="stable")[:n_probes]
+    cand = index.where(F.col("list_id").isin([int(x) for x in lists]))
+    return (cand.select(meta["id_col"],
+                        _cosine_expr(meta["vec_col"], query).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(meta["id_col"]))
+            .limit(k))
+
+
+def probe_ivf_index_many(spark, path: str, queries: DataFrame, k: int = 10,
+                         n_probes: int = 2, query_id_col: str = "query_id",
+                         query_vec_col: str = "query_vec",
+                         prune_partitions: bool | None = None) -> DataFrame:
+    """Batch IVF probe, same plan shape as :func:`probe_ann_index_many`:
+    explode each query to its n_probes nearest cells (one matmul per Arrow
+    batch against the broadcast centroid matrix), ONE join on ``list_id``
+    against the cell-partitioned index, window top-k per query. Few
+    distinct probed cells (<=1000, decided by a capped distinct job on the
+    skinny list_id column) => literal-IN partition pruning + broadcast
+    query side; a query set hitting every cell => plain shuffle join."""
+    index, meta, cent = _ivf_meta(spark, path)
+    dim = int(meta["dim"])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    n_probes = min(n_probes, int(meta["n_lists"]))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[query_vec_col].to_numpy()).astype(np.float64)
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"query dim {m.shape[1]} != index dim {dim}")
+            sims = _unit_rows(m) @ cent.T                # (rows, n_lists)
+            probes = np.argsort(-sims, axis=1, kind="stable")[:, :n_probes]
+            yield pd.DataFrame({
+                query_id_col:
+                    pdf[query_id_col].to_numpy().repeat(n_probes),
+                query_vec_col:
+                    pdf[query_vec_col].to_numpy().repeat(n_probes),
+                "list_id": probes.astype(np.int64).ravel()})
+
+    exploded = queries.select(query_id_col, query_vec_col).mapInPandas(
+        kernel,
+        schema=f"{query_id_col} long, {query_vec_col} array<float>, "
+               "list_id long")
+
+    if prune_partitions is False:
+        cand = index.join(exploded, "list_id")
+    else:
+        distinct = exploded.select("list_id").distinct()
+        cap = None if prune_partitions else 1000
+        rows = distinct.collect() if cap is None \
+            else distinct.limit(cap + 1).collect()
+        if cap is None or len(rows) <= cap:
+            index = index.where(
+                F.col("list_id").isin([r["list_id"] for r in rows]))
+            cand = index.join(F.broadcast(exploded), "list_id")
+        else:
+            cand = index.join(exploded, "list_id")
+
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (cand.select(
+                query_id_col, id_col,
+                _cosine_pair_expr(query_vec_col, vec_col).alias("cosine"))
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

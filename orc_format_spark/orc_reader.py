@@ -720,12 +720,21 @@ def _pos_category(typ: dict, stream_kind: int) -> str:
 
 
 def _entry_offsets(entries: list, streams: dict, typ: dict,
-                   compression: int) -> list[dict]:
+                   compression: int) -> list[dict] | None:
     """Per RowIndexEntry: {stream_kind: (chunk_byte_offset, bit_offset)} —
     the inverse of the writer's packed positions layout (positions walk the
     column's streams in PRESENT, DATA, LENGTH, SECONDARY order; each
     contributes chunk offset [+ in-chunk offset when compressed] + its
-    category's codec positions, bit offset last for bit-packed streams)."""
+    category's codec positions, bit offset last for bit-packed streams).
+
+    Returns None when any auxiliary position is nonzero — an in-chunk
+    decompressed offset or a codec pending count (an RLE run / byte-RLE run
+    continuing across the group boundary). Slicing at the chunk offset is
+    only valid when every group starts a fresh chunk with fresh codec state
+    (this writer's layout); Apache writers seek INTO runs via those
+    auxiliary positions, so for their files a byte slice would decode
+    shifted values (or overshoot). The caller falls back to whole-stripe
+    decode."""
     out = []
     for e in entries:
         pv, i, m = e["positions"], 0, {}
@@ -735,10 +744,16 @@ def _entry_offsets(entries: list, streams: dict, typ: dict,
             chunk_off = pv[i]
             i += 1
             if compression:
-                i += 1                     # offset inside decompressed chunk
+                if pv[i]:                  # offset inside decompressed chunk
+                    return None
+                i += 1
             cat = _pos_category(typ, kind)
             ns = _POS_SUFFIX[cat]
             bit_off = pv[i + ns - 1] if cat == "bool" else 0
+            # codec positions before the bit offset are pending-run counts;
+            # nonzero = run spans the boundary, byte slicing is invalid
+            if any(pv[i:i + ns - 1] if cat == "bool" else pv[i:i + ns]):
+                return None
             i += ns
             m[kind] = (chunk_off, bit_off)
         out.append(m)
@@ -820,9 +835,13 @@ def _plan_stride_groups(sf: dict, stripe_buf: bytes, compression: int,
     runs.append((start, keep[-1] + 1))
     if runs == [(0, n_groups)]:
         return None
-    entry_offs = {cid: _entry_offsets(ri[cid], _streams_for(sf, cid),
-                                      types[cid], compression)
-                  for cid in ri}
+    entry_offs = {}
+    for cid in ri:
+        offs = _entry_offsets(ri[cid], _streams_for(sf, cid),
+                              types[cid], compression)
+        if offs is None:                   # foreign layout: runs/chunks span
+            return None                    # group boundaries — don't slice
+        entry_offs[cid] = offs
     return runs, n_groups, entry_offs
 
 

@@ -467,3 +467,73 @@ def test_token_counts_values(spark):
     assert rows[3].n_ws_tokens == 1 and rows[3].n_bpe_tokens == 1
     assert rows[3].chars_per_token_x100 == 300
     assert rows[4].n_bpe_tokens == 3          # a | - | b
+
+
+def test_ivf_index_build_probe_and_prune(spark, emb, tmp_path):
+    """IVF (spherical-k-means cells): full-probe equals brute force
+    exactly, partial probe finds the query itself, the probe's scan
+    carries a list_id PartitionFilter, and dim mismatches fail loudly."""
+    path = str(tmp_path / "ivf_index")
+    index = similarity.build_ivf_index(emb, path, n_lists=8, seed=42,
+                                       train_rows=4096)
+    assert "list_id" in index.columns
+    import os
+    n_parts = len([d for d in os.listdir(path) if d.startswith("list_id=")])
+    assert n_parts > 2, "k-means collapsed to too few cells"
+
+    pdf = emb.orderBy("vec_id").limit(1).toPandas()
+    q = [float(x) for x in pdf["embedding"][0]]
+    exact = similarity.brute_force_topk(emb, q, k=10) \
+        .toPandas()["vec_id"].tolist()
+    # probing EVERY cell is exhaustive search => must equal brute force
+    full = similarity.probe_ivf_index(spark, path, q, k=10, n_probes=8) \
+        .toPandas()["vec_id"].tolist()
+    assert full == exact
+    part = set(similarity.probe_ivf_index(spark, path, q, k=10, n_probes=2)
+               .toPandas()["vec_id"])
+    assert pdf["vec_id"][0] in part, "query vector itself must be found"
+    assert len(set(exact) & part) / 10 >= 0.3
+
+    # the partial probe reads only probed cell partitions
+    _, meta, cent = similarity._ivf_meta(spark, path)
+    qn = similarity._unit_rows(np.asarray([q]))[0]
+    lists = np.argsort(-(cent @ qn), kind="stable")[:2]
+    index2, _ = similarity.load_ann_index(spark, path)
+    cand = index2.where(F.col("list_id").isin([int(x) for x in lists]))
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1)[1][:400], plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.probe_ivf_index(spark, path, q + [0.0], k=10)
+    # probing an LSH index with the IVF prober fails loudly, not garbage
+    lsh_path = str(tmp_path / "lsh_index")
+    similarity.build_ann_index(emb, lsh_path, n_planes=4, seed=42)
+    with _pytest.raises(ValueError, match="IVF"):
+        similarity.probe_ivf_index(spark, lsh_path, q, k=10)
+
+
+def test_probe_ivf_index_many_batch_matches_single(spark, emb, tmp_path):
+    """Batch IVF probe returns, per query, exactly the single-probe
+    top-k (same cells, same exact ranks), on both join plans."""
+    path = str(tmp_path / "ivf_bidx")
+    similarity.build_ivf_index(emb, path, n_lists=8, seed=42,
+                               train_rows=4096)
+    qp = emb.orderBy("vec_id").limit(20).toPandas()
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": qp["vec_id"].to_numpy(),
+        "query_vec": [list(map(float, v)) for v in qp["embedding"]]}))
+    for prune in (None, False):
+        many = similarity.probe_ivf_index_many(
+            spark, path, queries, k=5, n_probes=2,
+            prune_partitions=prune).toPandas()
+        for qid, vec in zip(qp["vec_id"], qp["embedding"]):
+            single = similarity.probe_ivf_index(
+                spark, path, [float(x) for x in vec], k=5,
+                n_probes=2).toPandas()["vec_id"].tolist()
+            got = many[many["query_id"] == qid] \
+                .sort_values(["cosine", "vec_id"],
+                             ascending=[False, True])["vec_id"].tolist()
+            assert got == single, f"query {qid} ({prune=})"

@@ -233,3 +233,29 @@ def test_spark_read_orc_noncontiguous_group_runs(spark, tmp_path):
     # exact residual filter on top still composes
     assert (got[got["m"] == 5000]["k"].tolist()
             == list(range(900, 1800)) + list(range(6300, 7200)))
+
+
+@pytest.mark.parametrize("compression", ["zlib", "uncompressed"])
+def test_spark_read_orc_foreign_row_index_falls_back(spark, tmp_path,
+                                                     compression):
+    """Apache-written files (pyarrow.orc == ORC C++) seek INTO runs via the
+    auxiliary row-index positions (in-chunk offset, RLE pending counts);
+    byte-slicing those files at the chunk offset decoded shifted values or
+    overshot the run budget. A nonzero auxiliary position now disables
+    group slicing (whole-stripe decode), so predicates over foreign files
+    with multi-group stripes return exact rows instead of crashing."""
+    import pyarrow.orc as po
+    from orc_format_spark import orc_reader
+    n = 50000
+    t = pa.table({
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([f"row{i % 7}" for i in range(n)]),
+    })
+    p = str(tmp_path / f"foreign_{compression}.orc")
+    po.write_table(t, p, stripe_size=64 * 1024 * 1024,
+                   compression=compression, row_index_stride=10000)
+    pred = orc_reader.spark_read_orc(
+        spark, [p], predicate=("v", ">=", 25000)) \
+        .where("v >= 25000 and v < 25010").orderBy("v").toPandas()
+    assert pred["v"].tolist() == list(range(25000, 25010))
+    assert pred["s"].tolist() == [f"row{i % 7}" for i in range(25000, 25010)]
