@@ -329,9 +329,16 @@ def main() -> None:
                  "ann_batch_probe", "orc_pruned_read", "ngram_jaccard",
                  "token_count", "ann_ivf_topk"):
         fn = entrymod.queries()[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        queries[name] = time.perf_counter() - t0
+        # best-of-2 BACK-TO-BACK, same rationale as the encode legs: this
+        # VM's intermittent local[32] futex collapse can triple a single
+        # reading (r5d artifact: roundtrip_events 12.5 s vs 3.0 s in two
+        # same-day runs); the min of two hot runs is the software number
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        queries[name] = min(runs)
 
     spark.stop()
 

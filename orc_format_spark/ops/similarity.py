@@ -156,6 +156,10 @@ def probe_ann_index(spark, path: str, query: list[float], k: int = 10,
     """Top-k probe against a persisted index: reads ONLY the probed bucket
     partitions (partition pruning), exact-ranks the survivors."""
     index, meta = load_ann_index(spark, path)
+    if "n_planes" not in meta:
+        raise ValueError(
+            f"{path} is not an LSH index (meta kind {meta.get('kind')!r}) "
+            "— probe IVF indexes with probe_ivf_index")
     if len(query) != int(meta["dim"]):
         raise ValueError(
             f"query dim {len(query)} != index dim {int(meta['dim'])} "
