@@ -603,6 +603,36 @@ def q_ann_ivf_topk(spark, sf_dir):
             .select("vec_id"))
 
 
+def q_compaction_roundtrip(spark, sf_dir):
+    """Iceberg-style table maintenance end-to-end: two 'micro-batch' runs
+    commit their own b<k>- stripes into the same (bucket, salt) slots (the
+    streaming small-file pattern), compact_job merges every fragmented slot
+    under a fresh c-run and tombstones the originals in lineage, and
+    decode_job resolves the active snapshot — one copy of every row, so the
+    oracle is a plain SELECT of the source table. Time travel, crash-orphan
+    invisibility, and replay idempotency are pinned by
+    tests/test_compaction.py."""
+    _pin(spark)
+    df = _read(spark, sf_dir, "events")
+    import os
+    import shutil
+    out = os.path.join("spark-warehouse",
+                       f"compact_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    params = {"n_buckets": 4, "stripe_rows": 2048, "key_col": "user_id",
+              "order_col": None, "index_rows": None, "bloom_cols": []}
+    for k, half in enumerate((df.where(F.col("event_id") % 2 == 0),
+                              df.where(F.col("event_id") % 2 == 1))):
+        stripes = pipeline.encode_dataframe(
+            half, key_col="user_id", order_col=None,
+            sort_keys=["event_id"], stripe_rows=2048, n_buckets=4,
+            stripe_prefix=f"b{k:08d}-")
+        pipeline.commit(spark, stripes, out, "user_id", None,
+                        run_id=f"batch-{k}", params=params)
+    pipeline.compact_job(spark, out)
+    return pipeline.decode_job(spark, out).select(*df.columns)
+
+
 def q_lang_id(spark, sf_dir):
     _pin(spark)
     df = _read(spark, sf_dir, "documents")
@@ -696,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_batch_probe": q_ann_batch_probe,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "compaction_roundtrip": q_compaction_roundtrip,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
@@ -707,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_events":
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        "compaction_roundtrip":
             "SELECT event_id, ts, user_id, event_type, value, props FROM events",
         "roundtrip_documents":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",

@@ -709,7 +709,8 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
 
 
 def decode_job_clustered(spark: SparkSession, out_dir: str,
-                         columns: list[str] | None = None) -> DataFrame:
+                         columns: list[str] | None = None,
+                         as_of=None) -> DataFrame:
     """SHUFFLE-FREE decode of a persisted stripes table.
 
     The encode tasks emit whole stripes (every column of a stripe leaves
@@ -740,6 +741,10 @@ def decode_job_clustered(spark: SparkSession, out_dir: str,
            .select("stripe_id", F.input_file_name().alias("path"))
            .distinct())
     owners = ids.groupBy("stripe_id").agg(F.min("path").alias("path"))
+    if as_of is not None or has_compactions(out_dir):
+        act = active_stripe_ids(spark, out_dir, as_of)
+        if act is not None:
+            owners = owners.join(act, "stripe_id", "left_semi")
     file_keep = owners.groupBy("path").agg(
         F.collect_list("stripe_id").alias("keep"))
     cores = spark.sparkContext.defaultParallelism
@@ -977,7 +982,13 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
 
     commit(spark, stripes, out_dir, key_col, order_col, run_id, params=params)
 
-    stats = (read_manifest(spark, out_dir)
+    stats_man = read_manifest(spark, out_dir)
+    if has_compactions(out_dir):
+        # tombstoned stripes keep their manifest rows (old snapshots need
+        # them) — stats must count only the active set or they double
+        stats_man = stats_man.join(active_stripe_ids(spark, out_dir),
+                                   "stripe_id", "left_semi")
+    stats = (stats_man
              .agg(F.count("*").alias("n_stripes"), F.sum("n_rows").alias("n_rows"),
                   F.sum("raw_bytes").alias("raw_bytes"),
                   F.sum("enc_bytes").alias("enc_bytes")).collect()[0])
@@ -990,15 +1001,24 @@ def decode_job(spark: SparkSession, out_dir: str,
                columns: list[str] | None = None,
                stripe_predicate=None,
                stride_range: tuple | None = None,
-               key_equals=None) -> DataFrame:
+               key_equals=None, as_of=None) -> DataFrame:
     """Read + decode a persisted stripes table; ``stripe_predicate`` is a
     Column over the manifest (e.g. key_min/key_max bounds) used to prune
     whole stripes before any decode work — the Spark analog of the
     reference's (unused) stats-skipping model (src/proto.rs:66-111).
     ``stride_range`` additionally skips row groups INSIDE surviving stripes
     (see decode_dataframe). Stats are strings: numeric predicates must use
-    int-like key columns (stored numerically) or cast explicitly."""
+    int-like key columns (stored numerically) or cast explicitly.
+
+    ``as_of`` (a run_id, or anything castable to timestamp) time-travels to
+    that snapshot. Compacted tables always resolve stripe visibility
+    through the lineage active set (status ok minus tombstoned); never-
+    compacted tables skip that join entirely — the hot path is unchanged."""
     stripes = read_stripes(spark, out_dir)
+    if as_of is not None or has_compactions(out_dir):
+        act = active_stripe_ids(spark, out_dir, as_of)
+        if act is not None:
+            stripes = stripes.join(act, "stripe_id", "left_semi")
     if stripe_predicate is not None or key_equals is not None:
         manifest = read_manifest(spark, out_dir)
         if stripe_predicate is not None:
@@ -1036,3 +1056,189 @@ def decode_job(spark: SparkSession, out_dir: str,
     schema, columns = infer_schema_from_manifest(spark, out_dir, columns)
     return decode_dataframe(stripes, columns=columns, schema=schema,
                             stride_range=stride_range)
+
+
+# ---------------------------------------------------------------------------
+# snapshots, time travel, compaction (Iceberg-style table maintenance)
+# ---------------------------------------------------------------------------
+# The stripes/manifest/lineage tables are append-only; a stripe's VISIBILITY
+# is a lineage question, never a byte question. Compaction therefore never
+# deletes anything: it appends merged stripes under a fresh run and appends
+# 'compacted' tombstone rows for the replaced ids, and every decode of a
+# compacted table resolves the active set (status ok MINUS tombstoned). Old
+# snapshots stay readable forever via decode_job(as_of=...).
+
+_COMPACT_MARKER_DIR = "_compactions"
+_seen_compactions: set[str] = set()   # positive cache only — a table once
+#                                       compacted stays compacted; negatives
+#                                       are re-checked so a concurrent
+#                                       compaction is never missed
+
+
+def _table_fs(out_dir: str):
+    """(filesystem, base_path) via pyarrow.fs so markers work on object
+    stores too; scheme-less strings resolve to the local filesystem."""
+    import os
+
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+    try:
+        return pafs.FileSystem.from_uri(out_dir)
+    except pa.ArrowInvalid:
+        return pafs.LocalFileSystem(), os.path.abspath(out_dir)
+
+
+def has_compactions(out_dir: str) -> bool:
+    """True once compact_job has ever run against this table (driver-side
+    marker listing; one RPC on object stores, cached when positive)."""
+    if out_dir in _seen_compactions:
+        return True
+    from pyarrow import fs as pafs
+    filesystem, base = _table_fs(out_dir)
+    sel = pafs.FileSelector(f"{base}/{_COMPACT_MARKER_DIR}",
+                            allow_not_found=True)
+    found = bool(filesystem.get_file_info(sel))
+    if found:
+        _seen_compactions.add(out_dir)
+    return found
+
+
+def _write_compaction_marker(out_dir: str, run_id: str) -> None:
+    filesystem, base = _table_fs(out_dir)
+    filesystem.create_dir(f"{base}/{_COMPACT_MARKER_DIR}", recursive=True)
+    with filesystem.open_output_stream(
+            f"{base}/{_COMPACT_MARKER_DIR}/{run_id}") as f:
+        f.write(run_id.encode())
+    _seen_compactions.add(out_dir)
+
+
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-run commit history (the Iceberg snapshot-list analog): one row
+    per (run_id, status) with its commit time and stripe/row/byte totals,
+    oldest first. 'ok' rows are publishes, 'compacted' rows are the same
+    run's tombstones."""
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    return (lineage.groupBy("run_id", "status")
+            .agg(F.min("committed_at").alias("committed_at"),
+                 F.count("*").alias("n_stripes"),
+                 F.sum("n_rows").alias("n_rows"),
+                 F.sum("enc_bytes").alias("enc_bytes"))
+            .orderBy("committed_at", "run_id", "status"))
+
+
+def active_stripe_ids(spark: SparkSession, out_dir: str,
+                      as_of=None) -> DataFrame | None:
+    """Stripe ids visible in the current snapshot — or, with ``as_of``, in
+    the table as it stood at that point: a run_id string (inclusive of that
+    run's commit) or anything castable to timestamp. None when the table
+    has no lineage (fresh dir: nothing to resolve)."""
+    try:
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+    except Exception:
+        if as_of is not None:
+            raise ValueError(
+                f"as_of={as_of!r} on {out_dir}: no lineage table — "
+                "time travel needs commit()-written history")
+        return None
+    if as_of is not None:
+        if isinstance(as_of, str):
+            cut = (lineage.filter(F.col("run_id") == as_of)
+                   .agg(F.max("committed_at")).collect()[0][0])
+            if cut is None:
+                raise ValueError(f"as_of run {as_of!r} not in lineage "
+                                 f"of {out_dir}")
+        else:
+            cut = as_of
+        lineage = lineage.filter(F.col("committed_at") <= F.lit(cut))
+    ok = (lineage.filter(F.col("status") == "ok")
+          .select("stripe_id").distinct())
+    dead = (lineage.filter(F.col("status") == "compacted")
+            .select("stripe_id").distinct())
+    return ok.join(dead, "stripe_id", "left_anti")
+
+
+def _layout_params(lineage: DataFrame) -> dict:
+    """The table's layout params from its most recent parameterized commit
+    (commit() records them on every lineage row)."""
+    prow = (lineage.filter((F.col("status") == "ok")
+                           & F.col("p_n_buckets").isNotNull())
+            .orderBy(F.desc("committed_at")).first())
+    if prow is None:
+        raise ValueError("lineage records no layout params "
+                         "(pre-param table) — cannot compact safely")
+    blooms = (prow["p_bloom_cols"].split(",")
+              if prow["p_bloom_cols"] else [])
+    return {"n_buckets": int(prow["p_n_buckets"]),
+            "stripe_rows": int(prow["p_stripe_rows"]),
+            "key_col": prow["p_key_col"],
+            "order_col": prow["p_order_col"],
+            "index_rows": (None if prow["p_index_rows"] in (None, -1)
+                           else int(prow["p_index_rows"])),
+            "bloom_cols": blooms}
+
+
+def compact_job(spark: SparkSession, out_dir: str) -> dict:
+    """Merge fragmented stripes — the streaming small-file problem: every
+    micro-batch appends its own ``b<batch>-<bucket>-<salt>`` stripe, so a
+    long-running stream leaves many under-filled stripes per (bucket, salt)
+    slot where a batch encode would have written one.
+
+    Any (bucket, salt) slot with >=2 ACTIVE stripes is rewritten: its rows
+    decode, re-encode at the table's recorded layout params (same bucket
+    hash, same order salt — the merged layout is exactly what a batch
+    encode of the union would produce), land under a fresh ``c...`` run
+    prefix (ids can never collide with live ids), and ONE lineage append
+    publishes the new stripes and tombstones the old in the same job.
+
+    Crash windows: the ``_compactions`` marker is written BEFORE any new
+    bytes, so from that point every decode resolves visibility through the
+    lineage active set — a compaction that dies after writing stripes but
+    before the lineage append leaves only invisible orphan bytes, and
+    rerunning compact_job (fresh run id) completes the work. Old snapshots
+    remain readable: decode_job(as_of=<pre-compaction run>) sees the
+    original stripes (tombstones commit later than the cutoff)."""
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    params = _layout_params(lineage)
+    act = active_stripe_ids(spark, out_dir)
+    man = (read_manifest(spark, out_dir)
+           .join(act, "stripe_id", "left_semi"))
+    slots = (man.select("stripe_id", "bucket",
+                        F.regexp_extract("stripe_id", r"-(\d{6})$", 1)
+                        .alias("salt"))
+             .groupBy("bucket", "salt")
+             .agg(F.collect_list("stripe_id").alias("sids"))
+             .where(F.size("sids") >= 2))
+    victims = slots.select(F.explode("sids").alias("stripe_id"))
+    n_victims = victims.count()
+    if n_victims == 0:
+        return {"run_id": None, "compacted_stripes": 0, "new_stripes": 0}
+    run_id = "c" + uuid.uuid4().hex[:11]
+    _write_compaction_marker(out_dir, run_id)
+
+    schema, columns = infer_schema_from_manifest(spark, out_dir, None)
+    src = (read_stripes(spark, out_dir)
+           .join(victims, "stripe_id", "left_semi"))
+    df = decode_dataframe(src, columns=columns, schema=schema)
+    new_stripes = encode_dataframe(
+        df, params["key_col"], params["order_col"],
+        stripe_rows=params["stripe_rows"], n_buckets=params["n_buckets"],
+        index_rows=params["index_rows"], bloom_cols=params["bloom_cols"],
+        stripe_prefix=f"{run_id}-")
+    run_dir = f"{out_dir}/stripes/run={run_id}"
+    new_stripes.write.mode("append").parquet(run_dir)
+    written = (spark.read.schema(STRIPE_SCHEMA).parquet(run_dir)
+               .dropDuplicates(["stripe_id", "col_name"]))
+    new_manifest = build_manifest(written, params["key_col"],
+                                  params["order_col"])
+    new_manifest.write.mode("append").parquet(f"{out_dir}/manifest")
+    ok_rows = _lineage_from_manifest(new_manifest, run_id, params)
+    dead_rows = (_lineage_from_manifest(
+        man.join(victims, "stripe_id", "left_semi"), run_id, params)
+        .withColumn("status", F.lit("compacted")))
+    # ONE append job publishes + tombstones together (both sides share the
+    # query's current_timestamp, so an as_of cutoff can never split them)
+    ok_rows.unionByName(dead_rows).write.mode("append") \
+        .parquet(f"{out_dir}/lineage")
+    n_new = new_manifest.count()
+    return {"run_id": run_id, "compacted_stripes": int(n_victims),
+            "new_stripes": int(n_new)}

@@ -1,0 +1,154 @@
+"""Snapshots, time travel, compaction: the streaming small-file problem and
+its Iceberg-style fix. Everything is append-only — compaction only moves
+stripe VISIBILITY (lineage tombstones), so every earlier snapshot stays
+readable via decode_job(as_of=...)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orc_format_spark import pipeline, streaming, transcripts
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, tmp_path_factory):
+    """A table written by a multi-micro-batch stream: every batch appends
+    its own b<batch>- stripes, so (bucket, salt) slots hold several
+    under-filled stripes each."""
+    base = tmp_path_factory.mktemp("compact")
+    src, out, ckpt = str(base / "src"), str(base / "enc"), str(base / "ckpt")
+    df = transcripts.generate(spark, n_convs=80, seed=21)
+    df.cache().count()
+    df.repartition(6).write.parquet(src)
+    stream = streaming.read_transcripts_stream(spark, src,
+                                               max_files_per_trigger=2)
+    q = streaming.encode_stream(stream, out, ckpt, stripe_rows=500,
+                                n_buckets=6)
+    q.awaitTermination(300)
+    return df, out
+
+
+def _sorted_pdf(sdf, cols):
+    return (sdf.orderBy("conv_id", "turn_idx", "ts").toPandas()[cols]
+            .reset_index(drop=True))
+
+
+def test_compact_job_merges_and_roundtrips(spark, fragmented):
+    df, out = fragmented
+    cols = df.columns
+    before_active = pipeline.active_stripe_ids(spark, out).count()
+    exp = _sorted_pdf(df, cols)
+
+    res = pipeline.compact_job(spark, out)
+    assert res["compacted_stripes"] >= 2
+    assert 0 < res["new_stripes"] < res["compacted_stripes"]
+
+    after_active = pipeline.active_stripe_ids(spark, out).count()
+    assert after_active < before_active
+
+    # both decode paths: exact same rows, one copy each
+    got = _sorted_pdf(pipeline.decode_job(spark, out), cols)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+    gotc = _sorted_pdf(pipeline.decode_job_clustered(spark, out), cols)
+    pd.testing.assert_frame_equal(exp, gotc, check_dtype=False)
+
+    # lineage: tombstones exist, original 'ok' rows remain (resume safety)
+    lineage = spark.read.parquet(f"{out}/lineage")
+    dead = (lineage.filter(F.col("status") == "compacted")
+            .select("stripe_id").distinct())
+    assert dead.count() == res["compacted_stripes"]
+    still_ok = (lineage.filter(F.col("status") == "ok")
+                .join(dead, "stripe_id", "left_semi"))
+    assert still_ok.count() >= res["compacted_stripes"]
+
+    # a second compaction is a no-op (every slot holds one active stripe)
+    res2 = pipeline.compact_job(spark, out)
+    assert res2 == {"run_id": None, "compacted_stripes": 0,
+                    "new_stripes": 0}
+    pd.testing.assert_frame_equal(
+        exp, _sorted_pdf(pipeline.decode_job(spark, out), cols),
+        check_dtype=False)
+
+
+def test_time_travel_reads_pre_compaction_snapshot(spark, fragmented):
+    df, out = fragmented
+    cols = df.columns
+    # (runs after the compaction test — module-scoped fixture, so the
+    # table is compacted by now; compact again defensively for ordering)
+    pipeline.compact_job(spark, out)
+    snaps = pipeline.snapshots(spark, out).collect()
+    assert [s for s in snaps if s["status"] == "compacted"]
+    # every pre-compaction publish run is still exactly readable
+    stream_runs = [s["run_id"] for s in snaps
+                   if s["status"] == "ok" and not s["run_id"].startswith("c")]
+    assert stream_runs
+    exp = _sorted_pdf(df, cols)
+    got = _sorted_pdf(
+        pipeline.decode_job(spark, out, as_of=stream_runs[-1]), cols)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+    # as of the FIRST run only a subset of rows existed
+    first = pipeline.decode_job(spark, out, as_of=stream_runs[0])
+    assert 0 < first.count() <= df.count()
+    # the compaction run itself is also a readable snapshot
+    crun = [s["run_id"] for s in snaps if s["run_id"].startswith("c")][0]
+    gotc = _sorted_pdf(pipeline.decode_job(spark, out, as_of=crun), cols)
+    pd.testing.assert_frame_equal(exp, gotc, check_dtype=False)
+    with pytest.raises(ValueError, match="not in lineage"):
+        pipeline.decode_job(spark, out, as_of="no-such-run").count()
+
+
+def test_crashed_compaction_orphans_stay_invisible(spark, fragmented):
+    """A compaction that died after writing stripes but before the lineage
+    append leaves only invisible bytes: the marker forces every decode
+    through the lineage active set, which has no rows for the orphan run."""
+    df, out = fragmented
+    cols = df.columns
+    pipeline.compact_job(spark, out)
+    exp = _sorted_pdf(pipeline.decode_job(spark, out), cols)
+    # simulate the crash: stripes land under a c-run dir, no lineage rows
+    orphan_run = "cdeadbeef000"
+    act = pipeline.active_stripe_ids(spark, out)
+    some = (pipeline.read_stripes(spark, out)
+            .join(act, "stripe_id", "left_semi").limit(50)
+            .withColumn("stripe_id", F.concat(F.lit("x-"),
+                                              F.col("stripe_id"))))
+    some.write.mode("append").parquet(f"{out}/stripes/run={orphan_run}")
+    pipeline._write_compaction_marker(out, orphan_run)
+    got = _sorted_pdf(pipeline.decode_job(spark, out), cols)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+    gotc = _sorted_pdf(pipeline.decode_job_clustered(spark, out), cols)
+    pd.testing.assert_frame_equal(exp, gotc, check_dtype=False)
+
+
+def test_stream_replay_after_compaction_is_noop(spark, fragmented):
+    """Replaying the SAME source through a fresh stream checkpoint derives
+    the same b<batch>- stripe ids; the lineage anti-join (original 'ok'
+    rows survive compaction) keeps every replayed batch's DATA out of the
+    table. Replay may re-append metadata rows for already-known ids (the
+    documented crash-window behavior, collapsed by per-id dedupe) — the
+    invariants are the distinct active/ok id sets and the decoded rows."""
+    df, out = fragmented
+    cols = df.columns
+    pipeline.compact_job(spark, out)
+    exp = _sorted_pdf(pipeline.decode_job(spark, out), cols)
+    ok_ids_before = set(
+        r["stripe_id"] for r in spark.read.parquet(f"{out}/lineage")
+        .filter(F.col("status") == "ok").select("stripe_id")
+        .distinct().collect())
+    active_before = pipeline.active_stripe_ids(spark, out).count()
+    import os
+    src = os.path.join(os.path.dirname(out), "src")
+    ckpt2 = os.path.join(os.path.dirname(out), "ckpt_replay")
+    stream = streaming.read_transcripts_stream(spark, src,
+                                               max_files_per_trigger=2)
+    q = streaming.encode_stream(stream, out, ckpt2, stripe_rows=500,
+                                n_buckets=6)
+    q.awaitTermination(300)
+    ok_ids_after = set(
+        r["stripe_id"] for r in spark.read.parquet(f"{out}/lineage")
+        .filter(F.col("status") == "ok").select("stripe_id")
+        .distinct().collect())
+    assert ok_ids_after == ok_ids_before, "replay must mint no new ids"
+    assert pipeline.active_stripe_ids(spark, out).count() == active_before
+    got = _sorted_pdf(pipeline.decode_job(spark, out), cols)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
