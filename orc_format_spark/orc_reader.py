@@ -701,10 +701,12 @@ def read_row_index(path: str) -> list[dict[int, list[dict]]]:
 _POS_SUFFIX = {"raw": 0, "byte": 1, "rle": 1, "bool": 2}
 
 
-def _pos_category(typ: dict, stream_kind: int) -> str:
+def _pos_category(typ: dict, stream_kind: int,
+                  enc_kind: int = DIRECT_V2) -> str:
     """Row-index position shape for a stream (mirror of the writer's
     orc_writer._pos_category — how many codec position values follow the
-    chunk offset)."""
+    chunk offset). Encoding-aware for strings: direct DATA is a raw slab,
+    dictionary DATA is an RLE code stream."""
     if stream_kind == PRESENT:
         return "bool"
     k = typ["kind"]
@@ -715,12 +717,16 @@ def _pos_category(typ: dict, stream_kind: int) -> str:
     if k in (5, 6):
         return "raw"                      # raw IEEE floats
     if k in (7, 8, 16, 17, 14):
-        return "raw" if stream_kind == DATA else "rle"
+        if stream_kind == DATA:
+            return ("rle" if enc_kind in (DICTIONARY, DICTIONARY_V2)
+                    else "raw")
+        return "rle"
     return "rle"                          # ints/date/ts/lengths/codes
 
 
 def _entry_offsets(entries: list, streams: dict, typ: dict,
-                   compression: int) -> list[dict] | None:
+                   compression: int,
+                   enc_kind: int = DIRECT_V2) -> list[dict] | None:
     """Per RowIndexEntry: {stream_kind: (chunk_byte_offset, bit_offset)} —
     the inverse of the writer's packed positions layout (positions walk the
     column's streams in PRESENT, DATA, LENGTH, SECONDARY order; each
@@ -735,19 +741,23 @@ def _entry_offsets(entries: list, streams: dict, typ: dict,
     auxiliary positions, so for their files a byte slice would decode
     shifted values (or overshoot). The caller falls back to whole-stripe
     decode."""
+    dict_enc = enc_kind in (DICTIONARY, DICTIONARY_V2)
     out = []
     for e in entries:
         pv, i, m = e["positions"], 0, {}
         for kind in (PRESENT, DATA, LENGTH, SECONDARY):
             if kind not in streams:
                 continue
+            if dict_enc and kind == LENGTH:
+                continue      # dictionary LENGTH is stripe-global: no
+                #               positions (spec) — sliced decode keeps it whole
             chunk_off = pv[i]
             i += 1
             if compression:
                 if pv[i]:                  # offset inside decompressed chunk
                     return None
                 i += 1
-            cat = _pos_category(typ, kind)
+            cat = _pos_category(typ, kind, enc_kind)
             ns = _POS_SUFFIX[cat]
             bit_off = pv[i + ns - 1] if cat == "bool" else 0
             # codec positions before the bit offset are pending-run counts;
@@ -782,7 +792,13 @@ def _slice_stripe_groups(stripe_buf: bytes, sf: dict, types: list,
         if kind == ROW_INDEX:
             continue                       # drop index streams in the view
         offs = entry_offs[cid]
-        cat = _pos_category(types[cid], kind)
+        if kind not in offs[g0]:
+            # no positions for this stream (dictionary blob / its LENGTH):
+            # it is stripe-global — keep it whole in the sliced view
+            new_streams.append(st)
+            new_parts.append(seg)
+            continue
+        cat = _pos_category(types[cid], kind, sf["encodings"][cid]["kind"])
         start, b0 = offs[g0][kind]
         end_g = g1 + 1 if cat == "bool" else g1
         end = offs[end_g][kind][0] if end_g < n_groups else ln
@@ -817,11 +833,6 @@ def _plan_stride_groups(sf: dict, stripe_buf: bytes, compression: int,
     entries = ri[pred_cid]
     if len(entries) != n_groups or n_groups <= 1:
         return None
-    # sliced decode cannot reassemble a stripe-global dictionary subset;
-    # our writer forces DirectV2 under a row index, other writers may not
-    if any(e["kind"] in (DICTIONARY, DICTIONARY_V2)
-           for e in sf["encodings"]):
-        return None
     keep = [g for g in range(n_groups)
             if _stats_may_match(entries[g]["stats"] or {}, predicate[1],
                                 predicate[2])]
@@ -838,7 +849,8 @@ def _plan_stride_groups(sf: dict, stripe_buf: bytes, compression: int,
     entry_offs = {}
     for cid in ri:
         offs = _entry_offsets(ri[cid], _streams_for(sf, cid),
-                              types[cid], compression)
+                              types[cid], compression,
+                              sf["encodings"][cid]["kind"])
         if offs is None:                   # foreign layout: runs/chunks span
             return None                    # group boundaries — don't slice
         entry_offs[cid] = offs

@@ -166,9 +166,12 @@ def _pb_stats(st: dict) -> bytes:
     return body
 
 
-def _pos_category(node: dict, stream_kind: int) -> str:
+def _pos_category(node: dict, stream_kind: int,
+                  enc_kind: int = DIRECT_V2) -> str:
     """Row-index position shape for a stream: how many codec position
-    values follow the byte/block offset (ORC spec run/bit offsets)."""
+    values follow the byte/block offset (ORC spec run/bit offsets).
+    Encoding-aware for strings: direct DATA is a raw slab, dictionary DATA
+    is an RLE code stream."""
     if stream_kind == PRESENT:
         return "bool"
     k = node["kind"]
@@ -179,7 +182,9 @@ def _pos_category(node: dict, stream_kind: int) -> str:
     if k in (5, 6):
         return "raw"                      # raw IEEE floats
     if k in (7, 8, 16, 17, _DECIMAL_KIND):
-        return "raw" if stream_kind == DATA else "rle"
+        if stream_kind == DATA:
+            return "rle" if enc_kind == DICTIONARY_V2 else "raw"
+        return "rle"
     return "rle"                          # ints/date/ts/lengths/codes
 
 
@@ -471,9 +476,11 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
     column's streams are encoded per stride group and concatenated, with
     each group compressed as its own chunk run — so every group starts at
     a compressed-chunk boundary and positions are exact
-    (block_offset, 0[, run 0[, bit 0]]). Strings are forced to DirectV2
-    under a row index (a stripe-global dictionary cannot be assembled from
-    independent per-stride encodes).
+    (block_offset, 0[, run 0[, bit 0]]). Low-NDV string columns still get
+    DictionaryV2 via a stripe-global post-pass: per-group direct encodes
+    are rebuilt against ONE sorted stripe dictionary (codes re-encoded per
+    group with fresh codec state), DICTIONARY_DATA/LENGTH become single
+    stripe-level chunks, and positions cover PRESENT + DATA only (spec).
 
     The Metadata section (per-stripe StripeStatistics) and the Footer's
     file-level statistics are always written, so stripe pruning works on
@@ -525,6 +532,52 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
                     cs.setdefault(cid, {})[PRESENT] = boolean_rle.encode_bools(
                         np.ones(nv.get(cid, 0), dtype=bool))
 
+        # DICTIONARY post-pass for row-index stripes: the per-group encode
+        # wrote strings DIRECT (a dictionary cannot be assembled per stride
+        # group — ORC has ONE dictionary per stripe), but low-NDV string
+        # columns still deserve one. Rebuild each candidate's values from
+        # its per-group direct streams, build the STRIPE-global sorted
+        # dictionary, swap every group's DATA to its rle code slice (fresh
+        # codec state per group keeps the slices independently seekable),
+        # and emit DICTIONARY_DATA + LENGTH once, stripe-level. Positions
+        # stay valid: dict columns index PRESENT + DATA only (spec).
+        stripe_level: dict[tuple[int, int], bytes] = {}
+        if row_index_stride:
+            for cid in sorted({c for cs in group_streams for c in cs}):
+                if nodes[cid]["kind"] not in (7, 16, 17):
+                    continue              # strings only; binary stays direct
+                counts = [int(group_stats[g].get(cid, {"n": 0})["n"])
+                          for g in range(n_groups)]
+                vals = [strings.decode_direct(
+                            group_streams[g][cid].get(DATA, b""),
+                            rle_v2.decode(
+                                group_streams[g][cid].get(LENGTH, b""),
+                                counts[g], signed=False))
+                        for g in range(n_groups) if counts[g]]
+                n_vals = sum(counts)
+                if n_vals == 0:
+                    continue
+                allv = pa.concat_arrays([v.combine_chunks()
+                                         if isinstance(v, pa.ChunkedArray)
+                                         else v for v in vals])
+                dblob, dlens, codes, ndv = strings.encode_dict(allv)
+                if ndv > max(n_vals * DICT_THRESHOLD, 1):
+                    continue
+                off = 0
+                for g, cs in enumerate(group_streams):
+                    if counts[g]:
+                        cs[cid][DATA] = rle_v2.encode(
+                            codes[off:off + counts[g]], signed=False)
+                        off += counts[g]
+                    else:
+                        cs.get(cid, {}).pop(DATA, None)
+                    cs.get(cid, {}).pop(LENGTH, None)
+                stripe_level[(cid, DICTIONARY_DATA)] = dblob
+                stripe_level[(cid, LENGTH)] = rle_v2.encode(dlens,
+                                                            signed=False)
+                enc_by_id[cid] = {"kind": DICTIONARY_V2,
+                                  "dictionarySize": int(ndv)}
+
         cids = sorted({c for cs in group_streams for c in cs})
         # Bit-packed boolean streams (PRESENT everywhere, DATA of boolean
         # columns) cannot simply restart per group: a group whose bit count
@@ -570,7 +623,11 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
         parts: dict[tuple[int, int], list[bytes]] = {}
         for cid in cids:
             for kind in _STREAM_ORDER:
-                if any(kind in cs.get(cid, {}) for cs in group_streams):
+                if (cid, kind) in stripe_level:
+                    # stripe-global dictionary streams: ONE chunk, no
+                    # per-group sections (and no row-index positions)
+                    parts[(cid, kind)] = [section(stripe_level[(cid, kind)])]
+                elif any(kind in cs.get(cid, {}) for cs in group_streams):
                     parts[(cid, kind)] = [
                         section(cs.get(cid, {}).get(kind, b""))
                         for cs in group_streams]
@@ -583,14 +640,17 @@ def write_orc_bytes(tbl: pa.Table, compression: str = "zlib",
                 for g in range(n_groups):
                     positions: list[int] = []
                     for kind in _STREAM_ORDER:
-                        if kind == DICTIONARY_DATA or (cid, kind) not in parts:
-                            continue
+                        if (kind == DICTIONARY_DATA
+                                or (cid, kind) in stripe_level
+                                or (cid, kind) not in parts):
+                            continue      # dict streams carry no positions
                         comp_off = sum(len(p) for p in parts[(cid, kind)][:g])
                         positions.append(comp_off)
                         if comp_kind:
                             positions.append(0)   # offset in decompressed chunk
                         suffix = [0] * _POS_SUFFIX[
-                            _pos_category(nodes[cid], kind)]
+                            _pos_category(nodes[cid], kind,
+                                          enc_by_id[cid]["kind"])]
                         if suffix and (cid, kind) in pos_bits:
                             suffix[-1] = pos_bits[(cid, kind)][g]
                         positions.extend(suffix)

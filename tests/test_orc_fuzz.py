@@ -125,7 +125,9 @@ def _slice_decode(path, g0, g1, stride):
                 R._decompress(stripe_buf[pos:pos + st["length"]], comp))
         pos += st["length"]
     entry_offs = {cid: R._entry_offsets(ri[cid], R._streams_for(sf, cid),
-                                        types[cid], comp) for cid in ri}
+                                        types[cid], comp,
+                                        sf["encodings"][cid]["kind"])
+                  for cid in ri}
     buf, sf2, skips = R._slice_stripe_groups(stripe_buf, sf, types,
                                              entry_offs, g0, g1, n_groups)
     root = types[0]
