@@ -22,9 +22,17 @@ from . import pipeline
 def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
                   key_col: str = "conv_id", order_col: str | None = "turn_idx",
                   stripe_rows: int = pipeline.DEFAULT_STRIPE_ROWS,
-                  n_buckets: int = 64, trigger_available_now: bool = True):
+                  n_buckets: int = 64, trigger_available_now: bool = True,
+                  compact_every: int | None = None):
     """Start a streaming query that encodes each micro-batch into
-    ``out_dir``/{stripes,manifest,lineage}. Returns the StreamingQuery."""
+    ``out_dir``/{stripes,manifest,lineage}. Returns the StreamingQuery.
+
+    ``compact_every=N`` folds table maintenance into the stream: after
+    every Nth batch commit, pipeline.compact_job merges the fragmented
+    (bucket, salt) slots the micro-batches leave behind, bounding the
+    table's stripe count at O(batches-since-compaction), not O(batches
+    ever). Runs on the foreachBatch thread, so a slow compaction back-
+    pressures the stream instead of racing it."""
     spark = stream_df.sparkSession
 
     params = {"n_buckets": n_buckets, "stripe_rows": stripe_rows,
@@ -47,6 +55,8 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
         # stays O(batch) as the table grows (not O(total stripes ever))
         pipeline.commit(spark, stripes, out_dir, key_col, order_col,
                         run_id=f"stream-b{batch_id}", params=params)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            pipeline.compact_job(spark, out_dir)
 
     writer = (stream_df.writeStream
               .foreachBatch(process_batch)

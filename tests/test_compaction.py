@@ -152,3 +152,31 @@ def test_stream_replay_after_compaction_is_noop(spark, fragmented):
     assert pipeline.active_stripe_ids(spark, out).count() == active_before
     got = _sorted_pdf(pipeline.decode_job(spark, out), cols)
     pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+
+
+def test_stream_auto_compaction(spark, tmp_path):
+    """compact_every folds maintenance into the stream: the finished table
+    holds ~one active stripe per (bucket, salt) slot and decodes exactly."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "enc", "ckpt"))
+    df = transcripts.generate(spark, n_convs=60, seed=31)
+    df.cache().count()
+    df.repartition(6).write.parquet(src)
+    stream = streaming.read_transcripts_stream(spark, src,
+                                               max_files_per_trigger=2)
+    q = streaming.encode_stream(stream, out, ckpt, stripe_rows=500,
+                                n_buckets=5, compact_every=2)
+    q.awaitTermination(300)
+    assert pipeline.has_compactions(out)
+    # post-stream state: at most one leftover uncompacted batch run, so
+    # every slot holds <= 2 active stripes; a final compact settles to 1
+    pipeline.compact_job(spark, out)
+    act = pipeline.active_stripe_ids(spark, out)
+    man = pipeline.read_manifest(spark, out).join(act, "stripe_id",
+                                                  "left_semi")
+    slots = (man.select(F.regexp_extract("stripe_id", r"-(\d{6})$", 1)
+                        .alias("salt"), "bucket")
+             .groupBy("bucket", "salt").count())
+    assert slots.agg(F.max("count")).collect()[0][0] == 1
+    got = _sorted_pdf(pipeline.decode_job(spark, out), df.columns)
+    pd.testing.assert_frame_equal(_sorted_pdf(df.selectExpr("*"), df.columns),
+                                  got, check_dtype=False)
