@@ -1149,6 +1149,19 @@ def active_stripe_ids(spark: SparkSession, out_dir: str,
                                  f"of {out_dir}")
         else:
             cut = as_of
+        expired = _expired_runs(out_dir)
+        if expired:
+            # an expired run visible at the cutoff means its bytes are
+            # gone: refuse loudly rather than return a partial snapshot
+            hit = (lineage.filter(F.col("run_id").isin(list(expired))
+                                  & (F.col("status") == "ok")
+                                  & (F.col("committed_at") <= F.lit(cut)))
+                   .select("run_id").first())
+            if hit is not None:
+                raise ValueError(
+                    f"as_of={as_of!r} snapshot of {out_dir} includes "
+                    f"expired run {hit['run_id']!r} — its bytes were "
+                    "freed by expire_snapshots; that window is gone")
         lineage = lineage.filter(F.col("committed_at") <= F.lit(cut))
     ok = (lineage.filter(F.col("status") == "ok")
           .select("stripe_id").distinct())
@@ -1242,3 +1255,67 @@ def compact_job(spark: SparkSession, out_dir: str) -> dict:
     n_new = new_manifest.count()
     return {"run_id": run_id, "compacted_stripes": int(n_victims),
             "new_stripes": int(n_new)}
+
+
+_EXPIRED_MARKER_DIR = "_expired"
+
+
+def _expired_runs(out_dir: str) -> set[str]:
+    from pyarrow import fs as pafs
+    filesystem, base = _table_fs(out_dir)
+    sel = pafs.FileSelector(f"{base}/{_EXPIRED_MARKER_DIR}",
+                            allow_not_found=True)
+    return {info.base_name for info in filesystem.get_file_info(sel)}
+
+
+def expire_snapshots(spark: SparkSession, out_dir: str,
+                     older_than=None) -> dict:
+    """Free the data bytes of fully-superseded runs (Iceberg
+    expire_snapshots): a run whose every published stripe has been
+    tombstoned by compaction contributes nothing to the CURRENT snapshot —
+    its ``stripes/run=<id>`` directory can be deleted. ``older_than``
+    (timestamp) keeps newer runs' bytes for time travel; None expires all
+    expirable runs.
+
+    Irreversible for time travel: snapshots that included an expired run
+    can no longer be reconstructed, and decode_job(as_of=...) into that
+    window raises instead of silently returning partial data (the
+    ``_expired`` marker is written BEFORE any bytes are deleted, so a
+    crash mid-delete still errs on the loud side). Lineage and manifest
+    rows are never deleted — history and stats stay queryable."""
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    ok_ids = (lineage.filter(F.col("status") == "ok")
+              .select("run_id", "stripe_id").distinct())
+    dead = (lineage.filter(F.col("status") == "compacted")
+            .select("stripe_id").distinct())
+    live_runs = {r["run_id"] for r in
+                 ok_ids.join(dead, "stripe_id", "left_anti")
+                 .select("run_id").distinct().collect()}
+    run_times = {r["run_id"]: r["t"] for r in
+                 lineage.filter(F.col("status") == "ok")
+                 .groupBy("run_id").agg(F.max("committed_at").alias("t"))
+                 .collect()}
+    already = _expired_runs(out_dir)
+    expirable = [rid for rid in run_times
+                 if rid not in live_runs and rid not in already
+                 and (older_than is None or run_times[rid] <= older_than)]
+    if not expirable:
+        return {"expired_runs": [], "bytes_freed_approx": 0}
+    freed = (spark.read.parquet(f"{out_dir}/manifest")
+             .join(ok_ids.filter(F.col("run_id").isin(expirable))
+                   .select("stripe_id").distinct(), "stripe_id", "left_semi")
+             .agg(F.sum("enc_bytes")).collect()[0][0] or 0)
+    filesystem, base = _table_fs(out_dir)
+    filesystem.create_dir(f"{base}/{_EXPIRED_MARKER_DIR}", recursive=True)
+    for rid in expirable:
+        # marker FIRST: a crash between marker and delete leaves a run
+        # that time travel refuses (loud) rather than half-reads (silent)
+        with filesystem.open_output_stream(
+                f"{base}/{_EXPIRED_MARKER_DIR}/{rid}") as f:
+            f.write(rid.encode())
+        try:
+            filesystem.delete_dir(f"{base}/stripes/run={rid}")
+        except FileNotFoundError:
+            pass
+    return {"expired_runs": sorted(expirable),
+            "bytes_freed_approx": int(freed)}

@@ -180,3 +180,51 @@ def test_stream_auto_compaction(spark, tmp_path):
     got = _sorted_pdf(pipeline.decode_job(spark, out), df.columns)
     pd.testing.assert_frame_equal(_sorted_pdf(df.selectExpr("*"), df.columns),
                                   got, check_dtype=False)
+
+
+def test_expire_snapshots_frees_superseded_runs(spark, tmp_path):
+    """expire_snapshots deletes the run dirs whose every stripe was
+    tombstoned: current decode is unchanged, disk shrinks, and time travel
+    into the expired window raises loudly instead of returning partial
+    rows."""
+    import os
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "enc", "ckpt"))
+    df = transcripts.generate(spark, n_convs=60, seed=41)
+    df.cache().count()
+    df.repartition(6).write.parquet(src)
+    stream = streaming.read_transcripts_stream(spark, src,
+                                               max_files_per_trigger=2)
+    streaming.encode_stream(stream, out, ckpt, stripe_rows=500,
+                            n_buckets=5).awaitTermination(300)
+    pipeline.compact_job(spark, out)
+    exp = _sorted_pdf(pipeline.decode_job(spark, out), df.columns)
+    snaps = pipeline.snapshots(spark, out).collect()
+    stream_runs = [s["run_id"] for s in snaps
+                   if s["status"] == "ok" and not s["run_id"].startswith("c")]
+
+    def du(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(p) for f in fs)
+
+    before = du(f"{out}/stripes")
+    res = pipeline.expire_snapshots(spark, out)
+    # fully-superseded stream runs freed; the compact run stays live
+    assert res["expired_runs"], res
+    assert all(not r.startswith("c") for r in res["expired_runs"])
+    assert res["bytes_freed_approx"] > 0
+    assert du(f"{out}/stripes") < before
+    for rid in res["expired_runs"]:
+        assert not os.path.exists(f"{out}/stripes/run={rid}")
+
+    got = _sorted_pdf(pipeline.decode_job(spark, out), df.columns)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+    gotc = _sorted_pdf(pipeline.decode_job_clustered(spark, out),
+                       df.columns)
+    pd.testing.assert_frame_equal(exp, gotc, check_dtype=False)
+
+    # time travel into the expired window refuses loudly
+    with pytest.raises(ValueError, match="expired"):
+        pipeline.decode_job(spark, out, as_of=stream_runs[0]).count()
+    # a second expire is a no-op
+    assert pipeline.expire_snapshots(spark, out) == {
+        "expired_runs": [], "bytes_freed_approx": 0}
