@@ -87,7 +87,16 @@ def build(values, k: int = DEFAULT_K) -> bytes:
         else:
             values = arr.to_numpy(zero_copy_only=False)  # object of str/bytes
     elif not isinstance(values, np.ndarray):
-        values = np.array([v for v in values if v is not None], dtype=object)
+        vals = [v for v in values if v is not None]
+        if vals and all(isinstance(v, (int, np.integer))
+                        and not isinstance(v, bool) for v in vals):
+            # MUST take the same int64 hash path the probes dispatch ints
+            # to — an object-array canon here would hash b"42" while the
+            # probe hashes int64 42: a guaranteed FALSE NEGATIVE (silent
+            # row loss under pruning)
+            values = np.array(vals, dtype=np.int64)
+        else:
+            values = np.array(vals, dtype=object)
     if values.dtype.kind not in "iu":
         if values.dtype != object:
             values = values.astype(object)
@@ -145,6 +154,10 @@ def might_contain_many(blobs, value) -> np.ndarray:
             continue  # unknown scheme / missing: never prune
         k, pos = varint.decode_unsigned(b, 1)
         n_bits, pos = varint.decode_unsigned(b, pos)
+        if len(b) < pos + (n_bits + 7) // 8:
+            continue  # truncated/corrupt bitset: a gather would read the
+            #           NEXT blob's bytes and could FALSELY prune (the
+            #           scalar path raises here) — never prune instead
         g = groups.setdefault((k, n_bits, pos), ([], []))
         g[0].append(i)
         g[1].append(b)
@@ -174,16 +187,14 @@ def might_contain(blob: bytes, value) -> bool:
         return True
     k, pos = varint.decode_unsigned(blob, 1)
     n_bits, pos = varint.decode_unsigned(blob, pos)
+    if len(blob) < pos + (n_bits + 7) // 8:
+        return True  # truncated/corrupt bitset: missing bits would read
+        #              as 0 (numpy zero-pads) and could FALSELY prune
     bits = np.unpackbits(np.frombuffer(blob, np.uint8, offset=pos),
                          bitorder="little", count=n_bits)
-    if isinstance(value, (int, np.integer)) and not isinstance(value, bool):
-        arr = np.array([value], dtype=np.int64)
-    else:
-        arr = np.empty(1, dtype=object)
-        arr[0] = _canon_obj(value)
-    h1, h2 = _hash_pairs(arr)
+    h1, h2 = _hash_value(value)
     mask_bits = np.uint64(n_bits - 1)
     steps = np.arange(k, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        idx = (h1[0] + steps * h2[0]) & mask_bits
+        idx = (h1 + steps * h2) & mask_bits
     return bool(bits[idx].all())

@@ -110,13 +110,23 @@ def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
 def _resolve_fs(path: str):
     """(filesystem, fs_path) for a URI or plain path: s3://, hdfs:// etc.
     resolve through pyarrow.fs so a remote index never mints a bogus LOCAL
-    directory named after the URI; scheme-less strings are local paths."""
+    directory named after the URI. ONLY scheme-less strings are local
+    paths — an unresolvable scheme (s3a://, abfss://) raises rather than
+    silently writing `_ann_meta` to the driver's local disk where no other
+    node can read it."""
     import os
+    import re
+
     import pyarrow as pa
     from pyarrow import fs as pafs
     try:
         return pafs.FileSystem.from_uri(path)
     except pa.ArrowInvalid:
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+            raise ValueError(
+                f"index path {path!r} has a URI scheme pyarrow cannot "
+                "resolve — use a pyarrow-supported scheme (e.g. s3a:// "
+                "-> s3://) so the meta table lands next to the index")
         return pafs.LocalFileSystem(), os.path.abspath(path)
 
 
@@ -132,7 +142,9 @@ def _write_meta(spark, path: str, meta: dict) -> None:
         pq.write_table(pa.table({k: [v] for k, v in meta.items()}),
                        base + "/_ann_meta/meta.parquet",
                        filesystem=filesystem)
-    except (OSError, pa.ArrowInvalid):
+    except (OSError, pa.ArrowInvalid, ValueError):
+        # incl. unresolvable URI schemes (s3a://): Spark's own
+        # writer handles them and lands next to the index
         spark.createDataFrame(pd.DataFrame({k: [v] for k, v in meta.items()})) \
             .coalesce(1).write.mode("overwrite") \
             .parquet(path + "/_ann_meta")
@@ -146,7 +158,7 @@ def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
         meta = {k: v[0] for k, v in
                 pq.read_table(base + "/_ann_meta", filesystem=filesystem)
                 .to_pydict().items()}
-    except (OSError, FileNotFoundError):
+    except (OSError, FileNotFoundError, ValueError):
         meta = spark.read.parquet(path + "/_ann_meta").first().asDict()
     return spark.read.parquet(path), meta
 
@@ -182,6 +194,36 @@ def _cosine_pair_expr(a_col: str, b_col: str):
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
     return dot / (na * nb)
+
+
+# broadcasting the exploded query side is only sane while it is small: each
+# exploded row carries a full embedding vector, so millions of queries would
+# collect gigabytes driver-side regardless of how few buckets they probe
+BROADCAST_QUERY_ROWS = 100_000
+
+
+def _join_candidates(index: DataFrame, exploded: DataFrame, key: str,
+                     prune_partitions: bool | None):
+    """Candidate join for the batch probes, with TWO independent decisions:
+    (1) partition pruning — push the probed keys into the index scan as a
+    literal IN when their DISTINCT count is small (capped skinny job;
+    prune_partitions=True lifts the cap, False skips pruning entirely);
+    (2) broadcast — broadcast the exploded query side only when it is
+    actually small (capped count job), never merely because the index has
+    few partitions: with default-sized indexes (<=2^8 buckets / 16 cells)
+    every query set probes few DISTINCT keys, and keying the broadcast on
+    that would ship a multi-million-row query set to every executor."""
+    small_queries = (exploded.limit(BROADCAST_QUERY_ROWS + 1).count()
+                     <= BROADCAST_QUERY_ROWS)
+    if prune_partitions is not False:
+        distinct = exploded.select(key).distinct()
+        cap = None if prune_partitions else 1000
+        rows = distinct.collect() if cap is None \
+            else distinct.limit(cap + 1).collect()
+        if cap is None or len(rows) <= cap:
+            index = index.where(F.col(key).isin([r[key] for r in rows]))
+    return index.join(
+        F.broadcast(exploded) if small_queries else exploded, key)
 
 
 def probe_ann_index_many(spark, path: str, queries: DataFrame, k: int = 10,
@@ -241,22 +283,7 @@ def probe_ann_index_many(spark, path: str, queries: DataFrame, k: int = 10,
         schema=f"{query_id_col} long, {query_vec_col} array<float>, "
                "bucket long")
 
-    if prune_partitions is False:
-        cand = index.join(exploded, "bucket")
-    else:
-        # one small job on the skinny bucket column; capped so a huge
-        # query set can't collect an unbounded list driver-side (explicit
-        # prune_partitions=True lifts the cap — caller's responsibility)
-        distinct = exploded.select("bucket").distinct()
-        cap = None if prune_partitions else 1000
-        rows = distinct.collect() if cap is None \
-            else distinct.limit(cap + 1).collect()
-        if cap is None or len(rows) <= cap:
-            index = index.where(
-                F.col("bucket").isin([r["bucket"] for r in rows]))
-            cand = index.join(F.broadcast(exploded), "bucket")
-        else:
-            cand = index.join(exploded, "bucket")
+    cand = _join_candidates(index, exploded, "bucket", prune_partitions)
 
     from pyspark.sql.window import Window
     w = Window.partitionBy(query_id_col).orderBy(
@@ -450,19 +477,7 @@ def probe_ivf_index_many(spark, path: str, queries: DataFrame, k: int = 10,
         schema=f"{query_id_col} long, {query_vec_col} array<float>, "
                "list_id long")
 
-    if prune_partitions is False:
-        cand = index.join(exploded, "list_id")
-    else:
-        distinct = exploded.select("list_id").distinct()
-        cap = None if prune_partitions else 1000
-        rows = distinct.collect() if cap is None \
-            else distinct.limit(cap + 1).collect()
-        if cap is None or len(rows) <= cap:
-            index = index.where(
-                F.col("list_id").isin([r["list_id"] for r in rows]))
-            cand = index.join(F.broadcast(exploded), "list_id")
-        else:
-            cand = index.join(exploded, "list_id")
+    cand = _join_candidates(index, exploded, "list_id", prune_partitions)
 
     from pyspark.sql.window import Window
     w = Window.partitionBy(query_id_col).orderBy(

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from .codecs import boolean_rle, deflate, rle_v2, strings, varint
 from .orc_reader import (DATA, DICTIONARY_DATA, LENGTH, PRESENT, SECONDARY,
-                         _TS_EPOCH_S, MAGIC)
+                         _TS_EPOCH_S, MAGIC, _POS_SUFFIX, _pos_category)
 
 # Type.kind enums (public orc_proto)
 _KIND_OF_ARROW = {
@@ -166,29 +166,9 @@ def _pb_stats(st: dict) -> bytes:
     return body
 
 
-def _pos_category(node: dict, stream_kind: int,
-                  enc_kind: int = DIRECT_V2) -> str:
-    """Row-index position shape for a stream: how many codec position
-    values follow the byte/block offset (ORC spec run/bit offsets).
-    Encoding-aware for strings: direct DATA is a raw slab, dictionary DATA
-    is an RLE code stream."""
-    if stream_kind == PRESENT:
-        return "bool"
-    k = node["kind"]
-    if k == 0:
-        return "bool"                     # boolean DATA
-    if k in (1, _UNION_KIND):
-        return "byte"                     # byte RLE
-    if k in (5, 6):
-        return "raw"                      # raw IEEE floats
-    if k in (7, 8, 16, 17, _DECIMAL_KIND):
-        if stream_kind == DATA:
-            return "rle" if enc_kind == DICTIONARY_V2 else "raw"
-        return "rle"
-    return "rle"                          # ints/date/ts/lengths/codes
-
-
-_POS_SUFFIX = {"raw": 0, "byte": 1, "rle": 1, "bool": 2}
+# row-index position shapes (_pos_category/_POS_SUFFIX) are imported from
+# orc_reader — writer and reader MUST agree on them byte-for-byte, so there
+# is exactly one copy (drift = shifted row-group slices)
 
 
 # ---------------------------------------------------------------------------

@@ -848,6 +848,9 @@ def _lineage_from_manifest(manifest: DataFrame, run_id: str,
         F.lit(",".join(params["bloom_cols"])
               if params.get("bloom_cols") is not None else None)
          .cast("string").alias("p_bloom_cols"),
+        F.lit(",".join(params["sort_keys"])
+              if params.get("sort_keys") is not None else None)
+         .cast("string").alias("p_sort_keys"),
     )
 
 
@@ -874,7 +877,7 @@ def _check_resume_params(spark: SparkSession, out_dir: str,
         lineage = spark.read.parquet(f"{out_dir}/lineage")
         row = lineage.select(*[c for c in (
             "p_n_buckets", "p_stripe_rows", "p_key_col", "p_index_rows",
-            "p_bloom_cols") if c in lineage.columns]).first()
+            "p_bloom_cols", "p_sort_keys") if c in lineage.columns]).first()
     except Exception:
         return
     if row is None or row["p_n_buckets"] is None:
@@ -889,6 +892,10 @@ def _check_resume_params(spark: SparkSession, out_dir: str,
         want_idx = params["index_rows"] if params.get("index_rows") is not None else -1
         checks.append((row["p_index_rows"], want_idx, "index_rows"))
         checks.append((row["p_bloom_cols"], want_bloom, "bloom_cols"))
+    if "p_sort_keys" in row.__fields__:
+        want_sort = (",".join(params["sort_keys"])
+                     if params.get("sort_keys") is not None else None)
+        checks.append((row["p_sort_keys"], want_sort, "sort_keys"))
     for have, want, name in checks:
         if want is not None and have is not None and have != want:
             raise ValueError(
@@ -967,7 +974,8 @@ def encode_job(spark: SparkSession, df: DataFrame, out_dir: str,
         bloom_cols = [key_col]
     params = {"n_buckets": n_buckets, "stripe_rows": stripe_rows,
               "key_col": key_col, "order_col": order_col,
-              "index_rows": index_rows, "bloom_cols": sorted(bloom_cols)}
+              "index_rows": index_rows, "bloom_cols": sorted(bloom_cols),
+              "sort_keys": sort_keys}
     _check_resume_params(spark, out_dir, params)
 
     stripes = encode_dataframe(df, key_col, order_col, sort_keys,
@@ -1077,14 +1085,24 @@ _seen_compactions: set[str] = set()   # positive cache only — a table once
 
 def _table_fs(out_dir: str):
     """(filesystem, base_path) via pyarrow.fs so markers work on object
-    stores too; scheme-less strings resolve to the local filesystem."""
+    stores too. ONLY scheme-less strings fall back to the local
+    filesystem: a URI pyarrow can't resolve (s3a://, abfss://, dbfs://)
+    raises instead — silently writing the compaction/expiry markers to a
+    local directory named after the URI would make other drivers see the
+    table as never-compacted and decode tombstoned stripes (duplicates)."""
     import os
+    import re
 
     import pyarrow as pa
     from pyarrow import fs as pafs
     try:
         return pafs.FileSystem.from_uri(out_dir)
     except pa.ArrowInvalid:
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", out_dir):
+            raise ValueError(
+                f"table path {out_dir!r} has a URI scheme pyarrow cannot "
+                "resolve — markers cannot be written safely (map the "
+                "scheme to a pyarrow-supported one, e.g. s3a:// -> s3://)")
         return pafs.LocalFileSystem(), os.path.abspath(out_dir)
 
 
@@ -1149,25 +1167,28 @@ def active_stripe_ids(spark: SparkSession, out_dir: str,
                                  f"of {out_dir}")
         else:
             cut = as_of
+        lineage = lineage.filter(F.col("committed_at") <= F.lit(cut))
+    ok = (lineage.filter(F.col("status") == "ok")
+          .select("stripe_id", "run_id").distinct())
+    dead = (lineage.filter(F.col("status") == "compacted")
+            .select("stripe_id").distinct())
+    active = ok.join(dead, "stripe_id", "left_anti")
+    if as_of is not None:
         expired = _expired_runs(out_dir)
         if expired:
-            # an expired run visible at the cutoff means its bytes are
-            # gone: refuse loudly rather than return a partial snapshot
-            hit = (lineage.filter(F.col("run_id").isin(list(expired))
-                                  & (F.col("status") == "ok")
-                                  & (F.col("committed_at") <= F.lit(cut)))
+            # refuse only when the snapshot actually NEEDS an expired
+            # run's bytes — i.e. one of its stripes is still ACTIVE at the
+            # cutoff. A run fully tombstoned by then contributes nothing
+            # (its rows live in the compacted stripes), so post-compaction
+            # snapshots stay readable after expiry.
+            hit = (active.filter(F.col("run_id").isin(list(expired)))
                    .select("run_id").first())
             if hit is not None:
                 raise ValueError(
-                    f"as_of={as_of!r} snapshot of {out_dir} includes "
+                    f"as_of={as_of!r} snapshot of {out_dir} needs "
                     f"expired run {hit['run_id']!r} — its bytes were "
                     "freed by expire_snapshots; that window is gone")
-        lineage = lineage.filter(F.col("committed_at") <= F.lit(cut))
-    ok = (lineage.filter(F.col("status") == "ok")
-          .select("stripe_id").distinct())
-    dead = (lineage.filter(F.col("status") == "compacted")
-            .select("stripe_id").distinct())
-    return ok.join(dead, "stripe_id", "left_anti")
+    return active.select("stripe_id").distinct()
 
 
 def _layout_params(lineage: DataFrame) -> dict:
@@ -1187,7 +1208,10 @@ def _layout_params(lineage: DataFrame) -> dict:
             "order_col": prow["p_order_col"],
             "index_rows": (None if prow["p_index_rows"] in (None, -1)
                            else int(prow["p_index_rows"])),
-            "bloom_cols": blooms}
+            "bloom_cols": blooms,
+            "sort_keys": (prow["p_sort_keys"].split(",")
+                          if "p_sort_keys" in prow.__fields__
+                          and prow["p_sort_keys"] else None)}
 
 
 def compact_job(spark: SparkSession, out_dir: str) -> dict:
@@ -1216,7 +1240,7 @@ def compact_job(spark: SparkSession, out_dir: str) -> dict:
     man = (read_manifest(spark, out_dir)
            .join(act, "stripe_id", "left_semi"))
     slots = (man.select("stripe_id", "bucket",
-                        F.regexp_extract("stripe_id", r"-(\d{6})$", 1)
+                        F.regexp_extract("stripe_id", r"-(\d{6,})$", 1)
                         .alias("salt"))
              .groupBy("bucket", "salt")
              .agg(F.collect_list("stripe_id").alias("sids"))
@@ -1234,6 +1258,7 @@ def compact_job(spark: SparkSession, out_dir: str) -> dict:
     df = decode_dataframe(src, columns=columns, schema=schema)
     new_stripes = encode_dataframe(
         df, params["key_col"], params["order_col"],
+        sort_keys=params.get("sort_keys"),
         stripe_rows=params["stripe_rows"], n_buckets=params["n_buckets"],
         index_rows=params["index_rows"], bloom_cols=params["bloom_cols"],
         stripe_prefix=f"{run_id}-")

@@ -114,3 +114,29 @@ def test_might_contain_many_is_fast_at_manifest_scale():
     dt = time.perf_counter() - t0
     assert len(got) == 100_000 and got.any()
     assert dt < 1.0, f"batch probe too slow: {dt:.2f}s for 100k blobs"
+
+
+def test_truncated_blob_batch_probe_never_prunes():
+    """A blob whose header claims more bitset bytes than it carries must
+    never prune, in BOTH probes: the batch gather would otherwise read the
+    NEXT blob's bytes, and the scalar unpackbits zero-pads the missing
+    bits — either way a set bit can read as 0 and falsely drop a stripe."""
+    from orc_format_spark import bloom
+    good = bloom.build([1, 2, 3])
+    truncated = good[: len(good) - 4]
+    out = bloom.might_contain_many([good, truncated, good], 2)
+    assert out.tolist() == [True, True, True]
+    out2 = bloom.might_contain_many([good, truncated, good], 999)
+    assert out2.tolist()[1] is True, "truncated blob must never prune"
+    assert out2.tolist()[0] is False and out2.tolist()[2] is False
+    assert bloom.might_contain(truncated, 2) is True
+    assert bloom.might_contain(truncated, 999) is True
+
+
+def test_scalar_and_batch_probes_agree():
+    from orc_format_spark import bloom
+    blobs = [bloom.build(list(range(i, i + 50))) for i in range(0, 300, 50)]
+    for probe in (0, 49, 50, 120, 299, 5000, "x"):
+        batch = bloom.might_contain_many(blobs, probe).tolist()
+        scalar = [bloom.might_contain(b, probe) for b in blobs]
+        assert batch == scalar, probe

@@ -173,7 +173,7 @@ def test_stream_auto_compaction(spark, tmp_path):
     act = pipeline.active_stripe_ids(spark, out)
     man = pipeline.read_manifest(spark, out).join(act, "stripe_id",
                                                   "left_semi")
-    slots = (man.select(F.regexp_extract("stripe_id", r"-(\d{6})$", 1)
+    slots = (man.select(F.regexp_extract("stripe_id", r"-(\d{6,})$", 1)
                         .alias("salt"), "bucket")
              .groupBy("bucket", "salt").count())
     assert slots.agg(F.max("count")).collect()[0][0] == 1
@@ -228,3 +228,64 @@ def test_expire_snapshots_frees_superseded_runs(spark, tmp_path):
     # a second expire is a no-op
     assert pipeline.expire_snapshots(spark, out) == {
         "expired_runs": [], "bytes_freed_approx": 0}
+
+
+def test_post_compaction_snapshot_survives_expiry(spark, tmp_path):
+    """Expiring a fully-tombstoned run must NOT poison time travel to
+    snapshots that never needed its bytes: as_of the compaction run (and
+    the current snapshot) stay readable; only the pre-compaction window
+    raises."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "enc", "ckpt"))
+    df = transcripts.generate(spark, n_convs=40, seed=51)
+    df.cache().count()
+    df.repartition(4).write.parquet(src)
+    stream = streaming.read_transcripts_stream(spark, src,
+                                               max_files_per_trigger=2)
+    streaming.encode_stream(stream, out, ckpt, stripe_rows=500,
+                            n_buckets=4).awaitTermination(300)
+    res = pipeline.compact_job(spark, out)
+    pipeline.expire_snapshots(spark, out)
+    exp = _sorted_pdf(df.selectExpr("*"), df.columns)
+    # the compact run's snapshot needs no expired bytes: must succeed
+    got = _sorted_pdf(pipeline.decode_job(spark, out, as_of=res["run_id"]),
+                      df.columns)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+    # pre-compaction snapshots DID need them: must raise
+    snaps = pipeline.snapshots(spark, out).collect()
+    pre = [s["run_id"] for s in snaps
+           if s["status"] == "ok" and not s["run_id"].startswith("c")][0]
+    with pytest.raises(ValueError, match="expired"):
+        pipeline.decode_job(spark, out, as_of=pre).count()
+
+
+def test_unresolvable_uri_scheme_raises():
+    """s3a:// / abfss:// (schemes pyarrow can't resolve) must raise, not
+    silently write markers/meta to a local dir named after the URI —
+    another driver would then see the table as never-compacted and decode
+    tombstoned stripes."""
+    from orc_format_spark.ops import similarity
+    with pytest.raises(ValueError, match="scheme"):
+        pipeline._table_fs("s3a://bucket/table")
+    with pytest.raises(ValueError, match="scheme"):
+        similarity._resolve_fs("dbfs://some/path")
+    # scheme-less strings remain local paths
+    fs, base = pipeline._table_fs("/tmp/whatever")
+    assert base == "/tmp/whatever"
+
+
+def test_compaction_records_and_replays_sort_keys(spark, tmp_path):
+    """Layout params carry sort_keys so a compaction rewrite reproduces
+    the original within-stripe physical order (stride stats stay tight)."""
+    out = str(tmp_path / "enc")
+    df = transcripts.generate(spark, n_convs=30, seed=61)
+    pipeline.encode_job(spark, df, out, key_col="conv_id",
+                        order_col="turn_idx", sort_keys=["ts"],
+                        stripe_rows=500, n_buckets=3)
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert pipeline._layout_params(lineage)["sort_keys"] == ["ts"]
+    # resuming with different sort keys is refused (stripe bytes depend
+    # on physical order — a silent change breaks re-encode idempotency)
+    with pytest.raises(ValueError, match="sort_keys"):
+        pipeline.encode_job(spark, df, out, key_col="conv_id",
+                            order_col="turn_idx", sort_keys=["role"],
+                            stripe_rows=500, n_buckets=3)
