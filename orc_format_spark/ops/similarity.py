@@ -82,6 +82,71 @@ def _probe_buckets(query: list[float], planes: np.ndarray,
     return [qbucket] + [qbucket ^ (1 << int(i)) for i in flip_order[:n_probes]]
 
 
+def _write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
+    """Hive-layout partitioned parquet write (``part_col=<v>/part-N.parquet``)
+    with the files written by pyarrow INSIDE the shuffle tasks instead of
+    Spark's dynamic-partition writer.
+
+    Why: Spark's partitionBy write pays a per-partition-dir writer init plus
+    a driver-side commit pass over every dir — measured 1.2-1.5 s for a
+    64-bucket index of 2k rows where the identical data as a plain write
+    costs 0.4 s. The task-side pyarrow write keeps the exact same on-disk
+    layout (spark.read.parquet discovers it identically) and the same
+    one-shuffle-by-bucket plan, minus the commit machinery. Idempotency:
+    file names are keyed by the shuffle partition id, so a retried task
+    overwrites its own file with identical content (the index build is
+    deterministic given the shuffle partition's rows' bucket assignment);
+    a failed build is simply re-run (an index is a derived artifact — the
+    two-phase lineage commit discipline of the stripes tables would be
+    overkill here). Falls back to the Spark writer for filesystems pyarrow
+    cannot resolve."""
+    spark = df.sparkSession
+    try:
+        filesystem, base = _resolve_fs(path)
+    except ValueError:
+        df.repartition(F.col(part_col)).write.mode("overwrite") \
+            .partitionBy(part_col).parquet(path)
+        return
+    # overwrite semantics: clear the target first (driver-side, one RPC)
+    try:
+        filesystem.delete_dir(base)
+    except FileNotFoundError:
+        pass
+    filesystem.create_dir(base, recursive=True)
+
+    def write_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        batches = list(batches)
+        n = 0
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+            n = tbl.num_rows
+            if n:
+                pid = TaskContext.get().partitionId()
+                pcol = tbl.column(part_col)
+                import numpy as np
+                vals = pcol.to_numpy()
+                order = np.argsort(vals, kind="stable")
+                tbl = tbl.take(order).drop([part_col])
+                svals = vals[order]
+                bounds = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(svals) != 0) + 1, [n]))
+                for i in range(len(bounds) - 1):
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    d = f"{base}/{part_col}={int(svals[lo])}"
+                    filesystem.create_dir(d, recursive=True)
+                    pq.write_table(tbl.slice(lo, hi - lo),
+                                   f"{d}/part-{pid:05d}.parquet",
+                                   filesystem=filesystem)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], type=pa.int64())],
+            schema=pa.schema([("n", pa.int64())]))
+
+    df.repartition(F.col(part_col)).mapInArrow(write_kernel, "n long").count()
+
+
 def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
                     seed: int = 42, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
@@ -99,8 +164,7 @@ def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
     # shuffle by bucket before the partitioned write: one writer task per
     # bucket => one well-sized file per partition dir instead of
     # (tasks x buckets) shards — the layout a 100-TB probe wants
-    bucketed.repartition(F.col("bucket")).write.mode("overwrite") \
-        .partitionBy("bucket").parquet(path)
+    _write_partitioned(bucketed, path, "bucket")
     _write_meta(spark, path, {"n_planes": int(n_planes), "seed": int(seed),
                               "dim": int(dim), "id_col": id_col,
                               "vec_col": vec_col})
@@ -212,7 +276,16 @@ def _join_candidates(index: DataFrame, exploded: DataFrame, key: str,
     actually small (capped count job), never merely because the index has
     few partitions: with default-sized indexes (<=2^8 buckets / 16 cells)
     every query set probes few DISTINCT keys, and keying the broadcast on
-    that would ship a multi-million-row query set to every executor."""
+    that would ship a multi-million-row query set to every executor.
+
+    ``exploded`` is persisted before the sizing jobs: the broadcast-size
+    count, the distinct-key job and the candidate join would otherwise
+    each re-run the query-side bucketize matmul kernel — at millions of
+    queries that triples the kernel work (round-5 review finding).
+    MEMORY_AND_DISK spills rather than recomputing; Spark evicts LRU, so
+    the lazily-returned join needs no unpersist hook."""
+    from pyspark import StorageLevel
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     small_queries = (exploded.limit(BROADCAST_QUERY_ROWS + 1).count()
                      <= BROADCAST_QUERY_ROWS)
     if prune_partitions is not False:
@@ -399,8 +472,7 @@ def build_ivf_index(emb: DataFrame, path: str, n_lists: int = 16,
     m = _unit_rows(np.vstack(samp[vec_col].to_numpy()).astype(np.float64))
     cent = _spherical_kmeans(m, n_lists, seed, iters)
     assigned = _assign_lists(emb, cent, id_col, vec_col)
-    assigned.repartition(F.col("list_id")).write.mode("overwrite") \
-        .partitionBy("list_id").parquet(path)
+    _write_partitioned(assigned, path, "list_id")
     _write_meta(spark, path, {
         "kind": "ivf", "n_lists": int(n_lists), "dim": int(dim),
         "seed": int(seed), "id_col": id_col, "vec_col": vec_col,

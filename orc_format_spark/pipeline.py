@@ -65,10 +65,18 @@ def _work_partitions(spark: SparkSession, n_groups: int) -> int:
     """Task count for the CPU-bound Arrow-UDF stages. Pinned explicitly
     because AQE's size-based coalescing targets ~64MB partitions and would
     serialize CPU-heavy (but byte-light) codec work onto a handful of tasks.
-    Scales with both cluster parallelism (≥4 waves per core for balance) and
-    data volume (≤STRIPES_PER_PARTITION stripes per task bounds memory)."""
+    Scales with both cluster parallelism and data volume
+    (≤STRIPES_PER_PARTITION stripes per task bounds memory).
+
+    ONE task wave per core, not four: every task pays the JVM↔Python Arrow
+    boundary (serialize + fetch + worker dispatch), so at fixed data volume
+    4x the tasks is 4x that fixed cost for no extra parallelism — measured
+    on the bench encode (672k turns, 82 stripes, 32 cores): cores*4 ≈
+    4.6-7.3 s, cores*1 ≈ 3.1-3.7 s. Balance is preserved by the
+    n_groups/STRIPES_PER_PARTITION floor: big inputs get as many tasks as
+    their stripe count needs, small inputs get exactly the cluster width."""
     cores = spark.sparkContext.defaultParallelism
-    return max(cores * 4, -(-n_groups // STRIPES_PER_PARTITION))
+    return max(cores, -(-n_groups // STRIPES_PER_PARTITION))
 
 
 def column_kinds(df: DataFrame) -> dict[str, str]:
@@ -671,9 +679,12 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     # same AQE-coalescing consideration as the encode side: stripe rows are
     # byte-light but expand ~10x on decode — pin a parallel task count. One
     # shuffle; stripes arrive contiguous after the partition-local sort.
+    # cores*1, not cores*4: same boundary-cost argument as _work_partitions
+    # (the decode kernel is ~15x cheaper than encode, so the Arrow boundary
+    # dominates even harder here).
     spark = stripes.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    pruned = (pruned.repartition(cores * 4, "stripe_id")
+    pruned = (pruned.repartition(cores, "stripe_id")
               .sortWithinPartitions("stripe_id"))
 
     try:  # arrow schema of the decoded output (timestamps carry session tz)
@@ -1108,16 +1119,19 @@ def _table_fs(out_dir: str):
 
 def has_compactions(out_dir: str) -> bool:
     """True once compact_job has ever run against this table (driver-side
-    marker listing; one RPC on object stores, cached when positive)."""
-    if out_dir in _seen_compactions:
+    marker listing; one RPC on object stores, cached when positive). The
+    cache key is the RESOLVED (filesystem, base) path, so ``tbl``,
+    ``./tbl`` and the absolute path share one entry instead of paying one
+    listing RPC each (round-5 review finding)."""
+    filesystem, base = _table_fs(out_dir)
+    if base in _seen_compactions:
         return True
     from pyarrow import fs as pafs
-    filesystem, base = _table_fs(out_dir)
     sel = pafs.FileSelector(f"{base}/{_COMPACT_MARKER_DIR}",
                             allow_not_found=True)
     found = bool(filesystem.get_file_info(sel))
     if found:
-        _seen_compactions.add(out_dir)
+        _seen_compactions.add(base)
     return found
 
 
@@ -1127,7 +1141,7 @@ def _write_compaction_marker(out_dir: str, run_id: str) -> None:
     with filesystem.open_output_stream(
             f"{base}/{_COMPACT_MARKER_DIR}/{run_id}") as f:
         f.write(run_id.encode())
-    _seen_compactions.add(out_dir)
+    _seen_compactions.add(base)
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -96,8 +96,16 @@ def _gen_conversation(conv: int, seed: int, vocab: np.ndarray) -> pd.DataFrame:
 def generate(spark: SparkSession, n_convs: int, seed: int = 42,
              partitions: int | None = None, shuffle: bool = True) -> DataFrame:
     """Distributed deterministic transcripts DataFrame with ``n_convs``
-    conversations (~11 turns/conversation on average, heavy upper tail)."""
-    partitions = partitions or max(min(n_convs // 8, 256), 8)
+    conversations (~11 turns/conversation on average, heavy upper tail).
+
+    Partition sizing: ~128 conversations (~10k turns, ~2 MB) per partition,
+    capped at 2048. The old n_convs//8 rule produced 256 partitions at
+    bench scale — 256 tiny map tasks whose per-task scheduling + shuffle
+    block count (M x R, guide §2.2) dominated the encode job's wall clock
+    (measured: the 256->128 exchange alone cost 3.5 s vs 1.0 s from 64
+    partitions on identical data). Content is a pure function of
+    (seed, conv), so partitioning never changes the generated rows."""
+    partitions = partitions or max(min(n_convs // 128, 2048), 8)
     vocab = _vocab(seed)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
