@@ -231,6 +231,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     corpus scale) while a true near-dup pair shares most bands — e.g. at
     rows=4 a j=0.99 pair misses 2-of-8 bands with probability ~1e-9."""
     banded = _banded(df, text_col, id_col, n_hashes, bands, shingle_k, seed)
+    # the banded rows feed FOUR consumers (the hot-bucket count, its
+    # anti-join, and both sides of the self-join); un-persisted, each one
+    # re-runs the signature mapInPandas kernel over the whole corpus —
+    # measured 4x the shingling work per query. MEMORY_AND_DISK spills
+    # instead of recomputing at scale; rows are skinny (id, band, bucket).
+    from pyspark import StorageLevel
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -251,6 +258,10 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     shingled ONCE (shingle_sets); the set intersection itself runs JVM-side
     (array_intersect under whole-stage codegen) — no Python in the verify."""
     sets = shingle_sets(df, text_col, id_col, shingle_k)
+    # both verify sides join against ``sets``; persist so the corpus is
+    # shingled once per query, not once per side
+    from pyspark import StorageLevel
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     joined = (pairs.select("id_a", "id_b")
               .join(sets.select(F.col(id_col).alias("id_a"),
                                 F.col("shingles").alias("sh_a")), "id_a")
@@ -337,6 +348,10 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str = "vec_id",
     spread = _spread(emb.select(id_col, vec_col))
     b = spread.mapInPandas(
         bucketize, schema=f"{id_col} long, table int, bucket long")
+    # same four-consumer pattern as minhash_lsh_pairs: persist the skinny
+    # (id, table, bucket) rows so the hyperplane matmul kernel runs once
+    from pyspark import StorageLevel
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
     b = _cap_buckets(b, ["table", "bucket"], bucket_cap)
     left, right = b.alias("l"), b.alias("r")
     pairs = (left.join(right, ["table", "bucket"])
