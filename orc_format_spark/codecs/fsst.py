@@ -142,6 +142,19 @@ class SymbolTable:
             if L >= 2:
                 pref = (keys >> np.uint64((L - 2) * 8)).astype(np.int64)
                 self._lut2[pref] |= np.uint8(1 << (L - 2))
+        # second-stage prescreen for L>=4: bit (L-4) over symbol BYTES 2-3.
+        # On text the first-2-bytes screen is weak for long symbols (common
+        # bigrams start many length-8 symbols — measured 1.25M of 1.3M
+        # positions passing), so requiring bytes 2-3 to also start some
+        # symbol tail shrinks the candidate gather ~10x. Filtering only:
+        # a true length-L match at i necessarily has bytes i+2..i+3 equal
+        # to the symbol's bytes 2-3, so no match is ever screened out.
+        self._lut2b = np.zeros(65536, dtype=np.uint8)
+        for L, (keys, _, _) in self._by_len.items():
+            if L >= 4:
+                mid = ((keys >> np.uint64((L - 4) * 8))
+                       & np.uint64(0xFFFF)).astype(np.int64)
+                self._lut2b[mid] |= np.uint8(1 << (L - 4))
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -175,7 +188,7 @@ class SymbolTable:
             return best_len, best_code
         g = _GramKeys(data)._key8  # unshifted; shifted per-candidate below
         lens_desc = sorted(self._by_len, reverse=True)
-        masks = None
+        masks = masks_b = None
         if any(L >= 2 for L in lens_desc):
             # 2-byte keys of every position (big-endian), built once, then
             # ONE bitmask gather covering every length's prescreen
@@ -185,6 +198,9 @@ class SymbolTable:
                 np.left_shift(d16[:-1], 8, out=data2[:], casting="unsafe")
                 data2 |= d16[1:]
             masks = self._lut2[data2]
+            if any(L >= 4 for L in lens_desc) and n > 3:
+                # bytes 2-3 screen: the same 2-byte key array shifted by 2
+                masks_b = self._lut2b[data2[2:]]
         for L in lens_desc:  # longest first
             keys, codes, lut = self._by_len[L]
             m = n - L + 1
@@ -192,6 +208,9 @@ class SymbolTable:
             # some length-L symbol AND no longer match claimed it
             if L >= 2:
                 cand = (masks[:m] & np.uint8(1 << (L - 2))).astype(bool)
+                if L >= 4 and masks_b is not None:
+                    cand &= (masks_b[:m]
+                             & np.uint8(1 << (L - 4))).astype(bool)
             else:
                 cand = lut[data[:m]]
             if L < 8:
@@ -246,9 +265,17 @@ def _token_starts(best_len: np.ndarray) -> np.ndarray:
     n = len(best_len)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    if not best_len.any():
+        # no symbol matches anywhere (e.g. the empty table of build_table's
+        # first iteration): every byte is its own token
+        return np.arange(n, dtype=np.int64)
     steps = np.maximum(best_len, 1).astype(np.int64)
     BLOCK = 4096
-    if n <= 2 * BLOCK:
+    # the block-parallel walk amortizes only on large inputs: per phase
+    # iteration it pays ~10 numpy ops over the whole frontier, and the
+    # iteration count is the worst block's token count — below ~256 KB the
+    # plain loop's ~160 ns/token wins (measured crossover)
+    if n <= (1 << 18):
         out = []
         append = out.append
         st = steps.tolist()

@@ -322,17 +322,21 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str = "vec_id",
     vectors rejoin by id once, AFTER the candidate set is deduped (at
     1k-dim float64 a vector is ~8 KB; carrying it through the x4-table
     explode and the pair shuffle was the r2 scale bug)."""
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
     shifts = np.arange(n_planes, dtype=np.uint64)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # planes built lazily from the first batch's vector width: they are
+        # a pure function of (seed, n_tables, n_planes, dim), so every task
+        # derives the identical family and the old driver-side dim-probe
+        # job (a full first() scan before any real work) disappears
+        planes = None
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.vstack(pdf[vec_col].to_numpy())
+            if planes is None:
+                planes = np.random.default_rng(seed).standard_normal(
+                    (n_tables, n_planes, m.shape[1]))
             norm = np.linalg.norm(m, axis=1, keepdims=True)
             norm[norm == 0] = 1.0
             m = m / norm

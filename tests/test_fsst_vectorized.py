@@ -119,3 +119,54 @@ def test_encode_decode_roundtrip_after_vectorization():
                                                       dtype=np.uint8)))
     enc = fsst.encode(blob)
     assert fsst.decode(np.frombuffer(enc, dtype=np.uint8), len(blob)) == blob
+
+
+def _reference_match_all(data: np.ndarray, table: fsst.SymbolTable):
+    """Brute-force longest-match reference (no prescreens, no hashing)."""
+    n = len(data)
+    blob = data.tobytes()
+    by_len = {}
+    for code, s in enumerate(table.symbols):
+        by_len.setdefault(len(s), {})[s] = code
+    best_len = np.zeros(n, dtype=np.int8)
+    best_code = np.zeros(n, dtype=np.uint8)
+    for i in range(n):
+        for L in range(min(fsst.MAX_LEN, n - i), 0, -1):
+            code = by_len.get(L, {}).get(blob[i:i + L])
+            if code is not None:
+                best_len[i] = L
+                best_code[i] = code
+                break
+    return best_len, best_code
+
+
+@pytest.mark.parametrize("idx", range(8))
+def test_match_all_matches_bruteforce(idx):
+    blob = _corpora()[idx]
+    data = np.frombuffer(blob, dtype=np.uint8)[:4000]  # brute force is O(n*8)
+    table = fsst.build_table(data)
+    got_len, got_code = table.match_all(data)
+    want_len, want_code = _reference_match_all(data, table)
+    np.testing.assert_array_equal(got_len, want_len)
+    np.testing.assert_array_equal(got_code, want_code)
+
+
+def test_match_all_bruteforce_random_tables():
+    """Random symbol tables (incl. shared prefixes and NULs) over random
+    data — exercises both prescreen LUT stages and every lookup kind."""
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        n_sym = int(rng.integers(1, 200))
+        syms, seen = [], set()
+        for _ in range(n_sym):
+            L = int(rng.integers(1, 9))
+            s = bytes(rng.integers(0, 8, L).astype(np.uint8))  # tiny alphabet
+            if s not in seen:
+                seen.add(s)
+                syms.append(s)
+        table = fsst.SymbolTable(syms[:fsst.MAX_SYMBOLS])
+        data = rng.integers(0, 8, 3000).astype(np.uint8)
+        got_len, got_code = table.match_all(data)
+        want_len, want_code = _reference_match_all(data, table)
+        np.testing.assert_array_equal(got_len, want_len)
+        np.testing.assert_array_equal(got_code, want_code)
