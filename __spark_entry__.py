@@ -45,6 +45,28 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _scratch_dir() -> str | None:
+    """Transient per-query scratch on tmpfs when available — the same
+    placement the engine already uses for shuffle files (spark.local.dir):
+    this sandbox's block device intermittently stalls writes for tens of
+    seconds, and the throwaway ORC write targets are pure scratch (created,
+    read back, and abandoned within one query)."""
+    import os
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _index_dir(name: str) -> str:
+    """Path for the per-query rebuilt ANN indexes: same tmpfs placement as
+    :func:`_scratch_dir` (the index is re-built from the parquet inputs
+    inside every query run — only the medium of the transient bytes moves
+    off the stalling block device). Falls back to the local warehouse dir."""
+    import os
+    base = _scratch_dir()
+    if base is None:
+        return os.path.join("spark-warehouse", name)
+    return os.path.join(base, "spark-graft-warehouse", name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full encode→decode round-trip of the events table at
     sf0.001 through the stripes pipeline (auto-selected codecs)."""
@@ -227,7 +249,8 @@ def q_orc_file_roundtrip(spark, sf_dir):
     # LENGTH stream + child column): the words of each document
     tbl = tbl.append_column(
         "words", pc.split_pattern(tbl.column("text"), " "))
-    path = os.path.join(tempfile.mkdtemp(prefix="orcrt"), "docs.orc")
+    path = os.path.join(tempfile.mkdtemp(prefix="orcrt", dir=_scratch_dir()),
+                        "docs.orc")
     orc_writer.write_orc(tbl, path, compression="zlib", stripe_rows=200)
     df = orc_reader.spark_read_orc(spark, [path])
     return df.select("doc_id", "text", "lang", "n_chars",
@@ -255,7 +278,7 @@ def q_orc_pruned_read(spark, sf_dir):
     from orc_format_spark import orc_reader, orc_writer
     df = _read(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
-    out = tempfile.mkdtemp(prefix="orcpr")
+    out = tempfile.mkdtemp(prefix="orcpr", dir=_scratch_dir())
     orc_writer.spark_write_orc(
         df.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
         out, compression="zstd", stripe_rows=2000, row_index_stride=500)
@@ -458,6 +481,10 @@ def _verified_sig_dups(uni, sigs, sig_col):
     (equal text ⇒ equal signature, so recall on exact dups is 1.0 by
     construction), then verified by exact text equality JVM-side — the
     blocking key replaces an all-pairs text compare at scale."""
+    from pyspark import StorageLevel
+    # both self-join sides consume ``sigs``; persist so the signature
+    # kernel runs once per query, not per side
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = sigs.alias("l"), sigs.alias("r")
     cand = (l.join(r, sig_col)
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
@@ -542,8 +569,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     # then probe it — the probe scans only the probed bucket partitions
     # (PartitionFilters), never the full corpus
     import os
-    path = os.path.join("spark-warehouse",
-                        f"ann_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = _index_dir(f"ann_index_{os.path.basename(sf_dir.rstrip('/'))}")
     similarity.build_ann_index(uni, path, n_planes=6, seed=42)
     return (similarity.probe_ann_index(spark, path, query, k=10, n_probes=4)
             .select("vec_id"))
@@ -565,8 +591,7 @@ def q_ann_batch_probe(spark, sf_dir):
         (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding")
     uni = emb.unionByName(planted)
     import os
-    path = os.path.join("spark-warehouse",
-                        f"ann_bidx_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = _index_dir(f"ann_bidx_{os.path.basename(sf_dir.rstrip('/'))}")
     similarity.build_ann_index(uni, path, n_planes=6, seed=42)
     queries = qset.select(F.col("vec_id").alias("query_id"),
                           F.col("embedding").alias("query_vec"))
@@ -595,8 +620,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     uni = emb.unionByName(planted.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding")))
     import os
-    path = os.path.join("spark-warehouse",
-                        f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = _index_dir(f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}")
     similarity.build_ivf_index(uni, path, n_lists=8, seed=42,
                                train_rows=4096)
     return (similarity.probe_ivf_index(spark, path, query, k=10, n_probes=3)

@@ -49,7 +49,11 @@ def main() -> None:
     repeats = 2
     if "--only" in args:
         i = args.index("--only")
-        only = [a for a in args[i + 1:] if not a.startswith("--")]
+        only = []
+        for a in args[i + 1:]:
+            if a.startswith("--"):
+                break
+            only.append(a)
     if "--plans" in args:
         plans_dir = args[args.index("--plans") + 1]
     if "--suffix" in args:

@@ -941,9 +941,18 @@ def commit(spark: SparkSession, stripes: DataFrame, out_dir: str,
     written = (spark.read.schema(STRIPE_SCHEMA).parquet(run_dir)
                .dropDuplicates(["stripe_id", "col_name"]))
     manifest = build_manifest(written, key_col, order_col)
-    manifest.write.mode("append").parquet(f"{out_dir}/manifest")
-    (_lineage_from_manifest(manifest, run_id, params)
-     .write.mode("append").parquet(f"{out_dir}/lineage"))
+    # the manifest feeds two write actions (manifest + lineage); persist so
+    # the run-dir scan + groupBy runs once per commit, not once per write.
+    # Explicit unpersist: the streaming path commits per micro-batch, and
+    # leaked cache entries would accumulate for the stream's lifetime.
+    from pyspark import StorageLevel
+    manifest = manifest.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        manifest.write.mode("append").parquet(f"{out_dir}/manifest")
+        (_lineage_from_manifest(manifest, run_id, params)
+         .write.mode("append").parquet(f"{out_dir}/lineage"))
+    finally:
+        manifest.unpersist()
 
 
 def read_stripes(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1251,8 +1260,12 @@ def compact_job(spark: SparkSession, out_dir: str) -> dict:
     lineage = spark.read.parquet(f"{out_dir}/lineage")
     params = _layout_params(lineage)
     act = active_stripe_ids(spark, out_dir)
+    # the active manifest feeds the slot scan AND the tombstone rows;
+    # persist so the lineage-resolution joins behind it run once
+    from pyspark import StorageLevel
     man = (read_manifest(spark, out_dir)
-           .join(act, "stripe_id", "left_semi"))
+           .join(act, "stripe_id", "left_semi")
+           .persist(StorageLevel.MEMORY_AND_DISK))
     slots = (man.select("stripe_id", "bucket",
                         F.regexp_extract("stripe_id", r"-(\d{6,})$", 1)
                         .alias("salt"))
@@ -1260,8 +1273,15 @@ def compact_job(spark: SparkSession, out_dir: str) -> dict:
              .agg(F.collect_list("stripe_id").alias("sids"))
              .where(F.size("sids") >= 2))
     victims = slots.select(F.explode("sids").alias("stripe_id"))
+    # victims feeds three consumers (this count, the source semi-join, the
+    # tombstone rows) — persist the skinny id list so the manifest/lineage
+    # scan behind it runs once
+    from pyspark import StorageLevel
+    victims = victims.persist(StorageLevel.MEMORY_AND_DISK)
     n_victims = victims.count()
     if n_victims == 0:
+        victims.unpersist()
+        man.unpersist()
         return {"run_id": None, "compacted_stripes": 0, "new_stripes": 0}
     run_id = "c" + uuid.uuid4().hex[:11]
     _write_compaction_marker(out_dir, run_id)
@@ -1280,18 +1300,27 @@ def compact_job(spark: SparkSession, out_dir: str) -> dict:
     new_stripes.write.mode("append").parquet(run_dir)
     written = (spark.read.schema(STRIPE_SCHEMA).parquet(run_dir)
                .dropDuplicates(["stripe_id", "col_name"]))
+    # three consumers (manifest write, the ok lineage rows, the final
+    # count) — persist so the merged run dir is scanned/aggregated once
     new_manifest = build_manifest(written, params["key_col"],
-                                  params["order_col"])
-    new_manifest.write.mode("append").parquet(f"{out_dir}/manifest")
-    ok_rows = _lineage_from_manifest(new_manifest, run_id, params)
-    dead_rows = (_lineage_from_manifest(
-        man.join(victims, "stripe_id", "left_semi"), run_id, params)
-        .withColumn("status", F.lit("compacted")))
-    # ONE append job publishes + tombstones together (both sides share the
-    # query's current_timestamp, so an as_of cutoff can never split them)
-    ok_rows.unionByName(dead_rows).write.mode("append") \
-        .parquet(f"{out_dir}/lineage")
-    n_new = new_manifest.count()
+                                  params["order_col"]) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        new_manifest.write.mode("append").parquet(f"{out_dir}/manifest")
+        ok_rows = _lineage_from_manifest(new_manifest, run_id, params)
+        dead_rows = (_lineage_from_manifest(
+            man.join(victims, "stripe_id", "left_semi"), run_id, params)
+            .withColumn("status", F.lit("compacted")))
+        # ONE append job publishes + tombstones together (both sides share
+        # the query's current_timestamp, so an as_of cutoff can never split
+        # them)
+        ok_rows.unionByName(dead_rows).write.mode("append") \
+            .parquet(f"{out_dir}/lineage")
+        n_new = new_manifest.count()
+    finally:
+        new_manifest.unpersist()
+        victims.unpersist()
+        man.unpersist()
     return {"run_id": run_id, "compacted_stripes": int(n_victims),
             "new_stripes": int(n_new)}
 
