@@ -643,8 +643,13 @@ def q_compaction_roundtrip(spark, sf_dir):
     out = os.path.join("spark-warehouse",
                        f"compact_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(out, ignore_errors=True)
+    # sort_keys recorded so compact_job re-encodes the merged stripes in
+    # the same sorted layout the batches used (round-5 advice: un-recorded,
+    # the post-compaction table silently lost the sorted layout — wider
+    # key ranges, weaker stride pruning)
     params = {"n_buckets": 4, "stripe_rows": 2048, "key_col": "user_id",
-              "order_col": None, "index_rows": None, "bloom_cols": []}
+              "order_col": None, "index_rows": None, "bloom_cols": [],
+              "sort_keys": ["event_id"]}
     for k, half in enumerate((df.where(F.col("event_id") % 2 == 0),
                               df.where(F.col("event_id") % 2 == 1))):
         stripes = pipeline.encode_dataframe(

@@ -846,6 +846,17 @@ def _plan_stride_groups(sf: dict, stripe_buf: bytes, compression: int,
     runs.append((start, keep[-1] + 1))
     if runs == [(0, n_groups)]:
         return None
+    # every column carrying a non-ROW_INDEX stream must have its own
+    # n_groups-entry index, or the slicer below cannot compute that
+    # stream's group byte ranges — a foreign file that passes the aux-
+    # position and predicate-column checks but lacks (or truncates) some
+    # OTHER column's ROW_INDEX would otherwise crash with KeyError/
+    # IndexError instead of falling back to whole-stripe decode
+    data_cids = {st["column"] for st in sf["streams"]
+                 if st["kind"] != ROW_INDEX}
+    for cid in data_cids:
+        if cid not in ri or len(ri[cid]) != n_groups:
+            return None
     entry_offs = {}
     for cid in ri:
         offs = _entry_offsets(ri[cid], _streams_for(sf, cid),

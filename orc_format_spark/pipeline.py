@@ -1237,6 +1237,24 @@ def _layout_params(lineage: DataFrame) -> dict:
                           and prow["p_sort_keys"] else None)}
 
 
+def _assert_no_compaction_conflict(spark: SparkSession, out_dir: str,
+                                   victims: DataFrame) -> None:
+    """Raise if any victim stripe is ALREADY tombstoned in lineage — i.e. a
+    concurrent compaction published against the same victims while this one
+    was rewriting them (this run has not appended yet, so any tombstone on
+    a victim is another writer's). See the call site in compact_job."""
+    hit = (spark.read.parquet(f"{out_dir}/lineage")
+           .filter(F.col("status") == "compacted")
+           .join(victims, "stripe_id", "left_semi")
+           .select("stripe_id").first())
+    if hit is not None:
+        raise RuntimeError(
+            f"concurrent compaction conflict on {out_dir}: victim stripe "
+            f"{hit['stripe_id']!r} was tombstoned by another run after "
+            "victim selection; aborting without publishing (this run's "
+            "bytes remain invisible orphans) — rerun compact_job")
+
+
 def compact_job(spark: SparkSession, out_dir: str) -> dict:
     """Merge fragmented stripes — the streaming small-file problem: every
     micro-batch appends its own ``b<batch>-<bucket>-<salt>`` stripe, so a
@@ -1311,6 +1329,20 @@ def compact_job(spark: SparkSession, out_dir: str) -> dict:
         dead_rows = (_lineage_from_manifest(
             man.join(victims, "stripe_id", "left_semi"), run_id, params)
             .withColumn("status", F.lit("compacted")))
+        # optimistic conflict detection (round-5 advice): a CONCURRENT
+        # compactor (another driver, or a manual run racing the stream's
+        # compact_every) may have selected the same victims and published
+        # first — its merged stripes already carry these rows, so
+        # publishing ours too would duplicate every compacted row in all
+        # subsequent decodes. Re-read lineage at the last moment and abort
+        # loudly; everything this run wrote stays invisible (never
+        # published), exactly like a crash orphan, and rerunning
+        # compact_job picks up whatever genuinely remains fragmented. The
+        # check-then-append window is not zero (object stores have no
+        # cross-writer CAS on parquet appends) but shrinks the race from
+        # the whole rewrite job to one driver round-trip; the documented
+        # deployment assumption stays one maintenance writer per table.
+        _assert_no_compaction_conflict(spark, out_dir, victims)
         # ONE append job publishes + tombstones together (both sides share
         # the query's current_timestamp, so an as_of cutoff can never split
         # them)

@@ -289,3 +289,54 @@ def test_compaction_records_and_replays_sort_keys(spark, tmp_path):
         pipeline.encode_job(spark, df, out, key_col="conv_id",
                             order_col="turn_idx", sort_keys=["role"],
                             stripe_rows=500, n_buckets=3)
+
+
+def test_concurrent_compaction_conflict_raises(spark, tmp_path):
+    """Two compactions racing on the same victims: the loser must abort
+    before publishing instead of silently duplicating every compacted row
+    (round-5 advice). The guard is exercised directly: after one
+    compaction has tombstoned a set of stripes, a second writer holding
+    those same stripes as victims must raise; victims that are still
+    active pass."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pd.DataFrame({
+        "conv_id": [f"c{i % 7}" for i in range(400)],
+        "turn_idx": list(range(400)),
+        "v": [i * 2 for i in range(400)],
+    }))
+    params = {"n_buckets": 2, "stripe_rows": 100, "key_col": "conv_id",
+              "order_col": None, "index_rows": None, "bloom_cols": [],
+              "sort_keys": ["turn_idx"]}
+    for k, half in enumerate((df.where(F.col("turn_idx") % 2 == 0),
+                              df.where(F.col("turn_idx") % 2 == 1))):
+        s = pipeline.encode_dataframe(
+            half, key_col="conv_id", order_col=None,
+            sort_keys=["turn_idx"], stripe_rows=100, n_buckets=2,
+            stripe_prefix=f"b{k:08d}-")
+        pipeline.commit(spark, s, out, "conv_id", None,
+                        run_id=f"batch-{k}", params=params)
+    # compactor A wins: selects and tombstones the fragmented slots
+    lineage = spark.read.parquet(f"{out}/lineage")
+    pre_victims = (spark.read.parquet(f"{out}/lineage")
+                   .filter(F.col("status") == "ok")
+                   .select("stripe_id").distinct())
+    res = pipeline.compact_job(spark, out)
+    assert res["compacted_stripes"] > 0
+
+    # compactor B held the SAME victims (selected before A published):
+    # the guard must refuse to publish
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="concurrent compaction"):
+        pipeline._assert_no_compaction_conflict(spark, out, pre_victims)
+
+    # victims still active (the post-compaction stripes) pass the guard
+    act = pipeline.active_stripe_ids(spark, out)
+    pipeline._assert_no_compaction_conflict(spark, out, act)
+
+    # and the table still decodes exactly one copy of every row
+    dec = pipeline.decode_job(spark, out).toPandas()
+    assert len(dec) == 400
+    assert sorted(dec["v"].tolist()) == sorted(df.toPandas()["v"].tolist())

@@ -318,3 +318,58 @@ def test_row_index_dictionary_strings_slice_and_interop(spark, tmp_path):
     assert DICTIONARY_DATA in by_kind
     assert by_kind[DATA] < n, "rle codes must undercut the raw slab"
     assert os.path.getsize(p) > 0
+
+
+def test_plan_stride_groups_missing_column_index_falls_back(tmp_path):
+    """A foreign file can carry a ROW_INDEX for the predicate column but
+    not for some OTHER data column (or with a different entry count); the
+    planner must fall back to whole-stripe decode (return None) instead of
+    crashing in the slicer with KeyError/IndexError (round-5 advice)."""
+    import numpy as np
+    import pyarrow as pa
+    from orc_format_spark import orc_reader, orc_writer
+
+    n = 4000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.arange(n, dtype=np.int64) % 100),
+    })
+    p = str(tmp_path / "own.orc")
+    orc_writer.write_orc(t, p, stripe_rows=n, row_index_stride=500,
+                         compression="uncompressed")
+    ps, footer = orc_reader.read_tail(p)
+    raw = open(p, "rb").read()
+    si = footer["stripes"][0]
+    off = si["offset"] + si["indexLength"] + si["dataLength"]
+    sf = orc_reader._parse_stripe_footer(orc_reader._decompress(
+        raw[off:off + si["footerLength"]], ps["compression"]))
+    stripe_buf = raw[si["offset"]:si["offset"] + si["indexLength"]
+                     + si["dataLength"]]
+    types = footer["types"]
+    kcid = footer["types"][0]["subtypes"][footer["types"][0]["fieldNames"]
+                                          .index("k")]
+    vcid = footer["types"][0]["subtypes"][footer["types"][0]["fieldNames"]
+                                          .index("v")]
+
+    # sanity: the intact file plans a real slice for a selective predicate
+    plan = orc_reader._plan_stride_groups(
+        sf, stripe_buf, ps["compression"], types, kcid,
+        ("k", "between", (600, 700)), 500, n)
+    assert plan not in (None, "empty")
+
+    # drop v's ROW_INDEX stream (simulating a foreign layout): rebuild the
+    # stripe buffer and footer without it
+    new_streams, new_parts, pos = [], [], 0
+    for st in sf["streams"]:
+        seg = stripe_buf[pos:pos + st["length"]]
+        pos += st["length"]
+        if st["kind"] == orc_reader.ROW_INDEX and st["column"] == vcid:
+            continue
+        new_streams.append(st)
+        new_parts.append(seg)
+    sf2 = {**sf, "streams": new_streams}
+    buf2 = b"".join(new_parts)
+    plan2 = orc_reader._plan_stride_groups(
+        sf2, buf2, ps["compression"], types, kcid,
+        ("k", "between", (600, 700)), 500, n)
+    assert plan2 is None  # falls back, never crashes
