@@ -144,7 +144,12 @@ def _write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
             [pa.array([n], type=pa.int64())],
             schema=pa.schema([("n", pa.int64())]))
 
-    df.repartition(F.col(part_col)).mapInArrow(write_kernel, "n long").count()
+    total = (df.repartition(F.col(part_col)).mapInArrow(write_kernel, "n long")
+             .agg(F.sum("n")).collect()[0][0]) or 0
+    if total == 0:
+        # empty input wrote no files; leave a readable empty table (the
+        # Spark writer's old behavior) so load_ann_index can infer a schema
+        df.limit(0).write.mode("overwrite").parquet(path)
 
 
 def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,

@@ -695,23 +695,36 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
         target_schema = to_arrow_schema(schema)
 
     def decode_partition(batches):
-        import pyarrow as pa
-        batches = list(batches)
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches)
-        if tbl.num_rows == 0:
-            return
-        ids = tbl.column("stripe_id").combine_chunks().dictionary_encode()
+        """STREAMING per-stripe decode: rows arrive sorted by stripe_id
+        (the partition-local sort above), so each stripe is decoded and
+        yielded as soon as its last row has arrived — task memory is
+        bounded by one stripe's rows plus one incoming Arrow batch, not by
+        the whole partition (the encode side bounds its partitions via the
+        STRIPES_PER_PARTITION floor; this is the decode-side analog, and
+        matters at scale where one task may own thousands of stripes)."""
         import numpy as np
-        codes = np.asarray(ids.indices)
-        change = np.flatnonzero(np.diff(codes) != 0) + 1
-        bounds = np.concatenate(([0], change, [len(codes)]))
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            rows = tbl.slice(lo, hi - lo).to_pylist()
-            yield stripe_mod.decode_stripe_arrow(rows, columns, target_schema,
-                                                 stride_range=stride_range)
+        import pyarrow as pa
+        pending = None  # rows of the stripe straddling the batch boundary
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([b])
+            if pending is not None:
+                tbl = pa.concat_tables([pending, tbl])
+            ids = tbl.column("stripe_id").combine_chunks().dictionary_encode()
+            codes = np.asarray(ids.indices)
+            change = np.flatnonzero(np.diff(codes) != 0) + 1
+            bounds = np.concatenate(([0], change, [len(codes)]))
+            for i in range(len(bounds) - 2):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                rows = tbl.slice(lo, hi - lo).to_pylist()
+                yield stripe_mod.decode_stripe_arrow(
+                    rows, columns, target_schema, stride_range=stride_range)
+            pending = tbl.slice(int(bounds[-2]))
+        if pending is not None and pending.num_rows:
+            yield stripe_mod.decode_stripe_arrow(
+                pending.to_pylist(), columns, target_schema,
+                stride_range=stride_range)
 
     out = pruned.mapInArrow(decode_partition, schema)
     if nested_schema is not None:

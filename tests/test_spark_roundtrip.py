@@ -120,3 +120,38 @@ def test_explain_has_pushed_filter_on_col_name(spark, small_transcripts):
         dec = pipeline.decode_dataframe(loaded, columns=["conv_id", "role"])
         plan = dec._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "col_name" in plan
+
+
+def test_streaming_decode_stripe_straddles_arrow_batches(spark):
+    """The round-6 streaming decode yields each stripe as soon as its rows
+    are complete instead of materializing the whole partition. Force
+    stripe-column rows to straddle Arrow batch boundaries (tiny
+    maxRecordsPerBatch) and check the roundtrip stays exact — the
+    straddling stripe must be carried over, never decoded twice or split."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from orc_format_spark import pipeline
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        pdf = pd.DataFrame({
+            "k": list(range(1000)),
+            "s": [f"v{i % 13}" for i in range(1000)],
+            "x": [float(i) * 0.5 for i in range(1000)],
+        })
+        df = spark.createDataFrame(pdf)
+        stripes = pipeline.encode_dataframe(
+            df, key_col="k", order_col=None, sort_keys=["k"],
+            stripe_rows=50, n_buckets=10)
+        # 10 stripes x 3 columns = 30 stripe rows; batches of 3 rows make
+        # every stripe straddle at least one batch boundary somewhere
+        dec = pipeline.decode_dataframe(stripes, columns=df.columns,
+                                        schema=df.schema)
+        got = dec.orderBy("k").toPandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            pdf.sort_values("k", ignore_index=True))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
