@@ -170,3 +170,24 @@ def test_match_all_bruteforce_random_tables():
         want_len, want_code = _reference_match_all(data, table)
         np.testing.assert_array_equal(got_len, want_len)
         np.testing.assert_array_equal(got_code, want_code)
+
+
+def test_build_table_fuzz_nul_heavy_tie_breaks():
+    """Adversarial fuzz for the (key, len) ordering equivalence: tiny
+    alphabets INCLUDING NUL create symbols that are zero-padded prefixes of
+    one another (e.g. b'a' vs b'a\\x00'), where equal padded keys make the
+    length tie-break load-bearing, and small vocabularies create exact gain
+    ties at the 255-symbol cut. 20 seeds, full build parity."""
+    rng = np.random.default_rng(99)
+    alphabets = [
+        np.array([0, 1], dtype=np.uint8),
+        np.array([0, 97], dtype=np.uint8),
+        np.array([0, 1, 2, 32, 97], dtype=np.uint8),
+    ]
+    for trial in range(20):
+        alpha = alphabets[trial % len(alphabets)]
+        n = int(rng.integers(64, 3000))
+        data = alpha[rng.integers(0, len(alpha), n)]
+        got = fsst.build_table(data)
+        want = _reference_build_table(data)
+        assert got.symbols == want.symbols, f"trial {trial}"
