@@ -64,8 +64,18 @@ def _pows(k: int) -> np.ndarray:
                     dtype=np.uint64)
 
 
+# minimum rows a _spread task should carry: each mapInPandas task pays a
+# fixed JVM<->Python Arrow boundary (~10-20 ms); below a few hundred rows
+# the boundary dominates the numpy kernel, so fanning a tiny input out to
+# every core is strictly slower than fewer, larger tasks (guide §2.2/§4.1).
+# Volume-derived, not a local[32] constant: big inputs still get full
+# parallelism (the rows/512 target exceeds core count long before the
+# n_files >= cores short-circuit takes over).
+SPREAD_ROWS_PER_TASK = 512
+
+
 def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the CPU-bound shingling UDFs get cluster-wide parallelism.
+    """Give the CPU-bound shingling UDFs volume-appropriate parallelism.
 
     A small-ish parquet input arrives as one or two scan partitions (byte
     -based splitting), which would serialize the numpy work onto one core.
@@ -73,9 +83,15 @@ def _spread(df: DataFrame) -> DataFrame:
     no-op; the round-robin repartition of a small input costs one tiny
     shuffle and unlocks every core.
 
-    The decision reads driver-side metadata only (``df.inputFiles()``):
-    the previous ``df.rdd.getNumPartitions()`` materialized the RDD lineage
-    of the DataFrame plan — a full plan translation outside Catalyst, a
+    The partition count is derived from the input's size (parquet-footer
+    row estimate, driver-side metadata only — no data scan), targeting
+    >= SPREAD_ROWS_PER_TASK rows per task and capped at the core count:
+    a 2k-row table gets ~4 tasks instead of 32 (32 near-empty Arrow
+    boundaries measured strictly slower), while anything core-saturating
+    behaves exactly as before. The decision reads driver-side metadata only
+    (``df.inputFiles()`` / footers): the previous
+    ``df.rdd.getNumPartitions()`` materialized the RDD lineage of the
+    DataFrame plan — a full plan translation outside Catalyst, a
     non-trivial driver pause on wide plans (round-5 review finding)."""
     cores = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -84,7 +100,11 @@ def _spread(df: DataFrame) -> DataFrame:
         n_files = 0
     if n_files >= cores:
         return df
-    return df.repartition(cores)
+    from orc_format_spark import pipeline as _pipeline
+    est = _pipeline._estimate_rows(df)
+    p = cores if est is None else \
+        max(1, min(cores, -(-est // SPREAD_ROWS_PER_TASK)))
+    return df.repartition(p)
 
 
 def _batch_shingle_hashes(texts, k: int):

@@ -48,17 +48,28 @@ def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def _bucketize(emb: DataFrame, planes: np.ndarray, id_col: str,
-               vec_col: str) -> DataFrame:
-    """One vectorized pass attaching the hyperplane-sign bucket per vector."""
-    n_planes = len(planes)
+def _bucketize(emb: DataFrame, planes: np.ndarray | None, id_col: str,
+               vec_col: str, n_planes: int | None = None,
+               seed: int | None = None) -> DataFrame:
+    """One vectorized pass attaching the hyperplane-sign bucket per vector.
+
+    ``planes=None`` derives the family lazily inside the kernel from the
+    first batch's vector width — the planes are a pure function of
+    (seed, n_planes, dim), so every task derives the identical family and
+    the caller needs no driver-side dim-probe job before the pass (the
+    same construction dedup.embedding_cosine_dups uses)."""
+    if planes is not None:
+        n_planes = len(planes)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = planes
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.vstack(pdf[vec_col].to_numpy())
-            signs = (m @ planes.T) > 0
+            if pl is None:
+                pl = _planes(n_planes, m.shape[1], seed)
+            signs = (m @ pl.T) > 0
             bucket = (signs.astype(np.uint64)
                       << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
             out = pdf[[id_col, vec_col]].copy()
@@ -106,7 +117,7 @@ def _write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
     except ValueError:
         df.repartition(F.col(part_col)).write.mode("overwrite") \
             .partitionBy(part_col).parquet(path)
-        return
+        return None  # row count unknown without an extra job
     # overwrite semantics: clear the target first (driver-side, one RPC)
     try:
         filesystem.delete_dir(base)
@@ -150,6 +161,33 @@ def _write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
         # empty input wrote no files; leave a readable empty table (the
         # Spark writer's old behavior) so load_ann_index can infer a schema
         df.limit(0).write.mode("overwrite").parquet(path)
+    return total
+
+
+def _index_vec_dim(path: str, vec_col: str) -> int | None:
+    """Vector width of a just-written index, read driver-side from ONE
+    column of its first file (pyarrow dataset head — no Spark job). Used
+    by the index builders so the plane/centroid metadata records the true
+    dim without a separate ``first()`` probe job over the corpus.
+    Returns None when the index holds no non-null vector."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    try:
+        filesystem, base = _resolve_fs(path)
+    except ValueError:
+        return None
+    try:
+        dset = pads.dataset(base, filesystem=filesystem, format="parquet",
+                            partitioning="hive",
+                            ignore_prefixes=["_", "."])
+        head = dset.head(1, columns=[vec_col])
+    except (OSError, FileNotFoundError, pa.ArrowInvalid):
+        return None
+    if head.num_rows:
+        v = head.column(0)[0].as_py()
+        if v is not None:
+            return len(v)
+    return None
 
 
 def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
@@ -163,13 +201,23 @@ def build_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
     discovery), so ``load_ann_index``/``probe_ann_index`` reconstruct the
     exact plane family. Returns the reloaded index DataFrame."""
     spark = emb.sparkSession
-    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
-    planes = _planes(n_planes, dim, seed)
-    bucketed = _bucketize(emb, planes, id_col, vec_col)
+    # planes are derived lazily inside the kernel (pure function of
+    # (seed, n_planes, dim)); the meta dim is recovered from the written
+    # files driver-side — no separate dim-probe job over the corpus
+    bucketed = _bucketize(emb, None, id_col, vec_col,
+                          n_planes=n_planes, seed=seed)
     # shuffle by bucket before the partitioned write: one writer task per
     # bucket => one well-sized file per partition dir instead of
     # (tasks x buckets) shards — the layout a 100-TB probe wants
-    _write_partitioned(bucketed, path, "bucket")
+    total = _write_partitioned(bucketed, path, "bucket")
+    dim = _index_vec_dim(path, vec_col) if total != 0 else None
+    if dim is None:  # empty corpus / opaque filesystem: probe with a job
+        row = emb.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError(
+                f"cannot build an ANN index over an empty corpus ({path}): "
+                "the plane family needs the vector dimension")
+        dim = int(row["d"])
     _write_meta(spark, path, {"n_planes": int(n_planes), "seed": int(seed),
                               "dim": int(dim), "id_col": id_col,
                               "vec_col": vec_col})
@@ -468,13 +516,16 @@ def build_ivf_index(emb: DataFrame, path: str, n_lists: int = 16,
     centroids riding in ``_ann_meta``. One writer task per list => one
     well-sized file per cell directory. Returns the reloaded index."""
     spark = emb.sparkSession
-    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
     n = emb.count()
     frac = min(1.0, 1.2 * train_rows / max(n, 1))
     samp = (emb.select(vec_col) if frac >= 1.0
             else emb.select(vec_col).sample(False, frac, seed)) \
         .limit(train_rows).toPandas()
     m = _unit_rows(np.vstack(samp[vec_col].to_numpy()).astype(np.float64))
+    # dim from the training sample itself (the sample does not depend on
+    # dim, so this is byte-identical to the old separate first() probe job
+    # — one fewer sequential job before training)
+    dim = int(m.shape[1])
     cent = _spherical_kmeans(m, n_lists, seed, iters)
     assigned = _assign_lists(emb, cent, id_col, vec_col)
     _write_partitioned(assigned, path, "list_id")
