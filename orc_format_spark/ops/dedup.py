@@ -207,10 +207,18 @@ def shingle_sets(df: DataFrame, text_col: str = "text",
 def _cap_buckets(banded: DataFrame, keys: list[str], bucket_cap: int) -> DataFrame:
     """Drop members of buckets larger than ``bucket_cap`` before a bucket
     self-join (skew guard). The anti-join shuffles on the same keys as the
-    self-join that follows, so it adds no extra exchange of the big side."""
+    self-join that follows, so it adds no extra exchange of the big side.
+
+    The capped rows are persisted: both sides of the self-join that follows
+    consume them, and the broadcast build side cannot reuse the probe
+    side's exchange — un-persisted, the hot-bucket aggregation and the
+    anti-join run twice per query (two full subtrees in the plan). Rows are
+    skinny (id + bucket keys); MEMORY_AND_DISK spills, never recomputes."""
+    from pyspark import StorageLevel
     hot = (banded.groupBy(*keys).count()
            .filter(F.col("count") > bucket_cap).select(*keys))
-    return banded.join(hot, keys, "left_anti")
+    return (banded.join(hot, keys, "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def lsh_dropped_buckets(df: DataFrame, text_col: str = "text",
@@ -476,10 +484,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         Window.partitionBy(id_col).orderBy("gdf", "g"))
     prefix_len = F.col("setsz") - F.ceil(
         F.lit(threshold) * F.col("setsz") - F.lit(1e-9)) + 1
+    # both self-join sides consume the prefix pipeline, and the broadcast
+    # build side cannot reuse the other side's shuffle exchange — without a
+    # persist the dfreq aggregation AND the per-doc rarity window run twice
+    # (visible as two full Window+Exchange subtrees in the physical plan).
+    # Rows are skinny (id, setsz, gram).
     prefix = (tok.join(dfreq, "g")
               .withColumn("rk", rk)
               .where(F.col("rk") <= prefix_len)
-              .select(id_col, "setsz", "g"))
+              .select(id_col, "setsz", "g")
+              .persist(StorageLevel.MEMORY_AND_DISK))
     l, r = prefix.alias("l"), prefix.alias("r")
     cand = (l.join(r, "g")
             .where((F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
