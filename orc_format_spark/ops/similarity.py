@@ -339,15 +339,25 @@ def _join_candidates(index: DataFrame, exploded: DataFrame, key: str,
     the lazily-returned join needs no unpersist hook."""
     from pyspark import StorageLevel
     exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
-    small_queries = (exploded.limit(BROADCAST_QUERY_ROWS + 1).count()
-                     <= BROADCAST_QUERY_ROWS)
+    small_queries = None
     if prune_partitions is not False:
-        distinct = exploded.select(key).distinct()
+        # ONE sizing job instead of two: the per-key counts give both the
+        # distinct probed keys (pruning) and, when the cap holds, the total
+        # exploded row count (broadcast decision) — the old shape ran a
+        # limit-count job AND a distinct job over the same persisted rows.
+        per_key = exploded.groupBy(key).agg(F.count("*").alias("__n"))
         cap = None if prune_partitions else 1000
-        rows = distinct.collect() if cap is None \
-            else distinct.limit(cap + 1).collect()
+        rows = per_key.collect() if cap is None \
+            else per_key.limit(cap + 1).collect()
         if cap is None or len(rows) <= cap:
             index = index.where(F.col(key).isin([r[key] for r in rows]))
+            small_queries = (sum(r["__n"] for r in rows)
+                             <= BROADCAST_QUERY_ROWS)
+    if small_queries is None:
+        # pruning skipped or >cap distinct keys: size the broadcast side
+        # directly (a capped count over the persisted skinny rows)
+        small_queries = (exploded.limit(BROADCAST_QUERY_ROWS + 1).count()
+                         <= BROADCAST_QUERY_ROWS)
     return index.join(
         F.broadcast(exploded) if small_queries else exploded, key)
 

@@ -561,7 +561,15 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
                 bloom_cols=set(bloom_cols or ())))
         yield stripe_mod.stripe_rows_to_batch(rows)
 
-    return keyed.mapInArrow(encode_partition, STRIPE_SCHEMA)
+    out = keyed.mapInArrow(encode_partition, STRIPE_SCHEMA)
+    # The output is stripe-clustered BY CONSTRUCTION: each (bucket, salt)
+    # group lands whole in one partition and its column rows are emitted
+    # contiguously. Tag the exact object so decode_dataframe can skip its
+    # re-clustering exchange when handed this output directly (the
+    # in-memory roundtrip path); any derived DataFrame (filter, read-back
+    # from storage) loses the tag and keeps the safe re-shuffle.
+    out._ofs_stripe_clustered = True
+    return out
 
 
 def _schema_from_kinds(by_name: dict[str, str],
@@ -676,16 +684,27 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
     if stride_range is not None and stride_range[0] not in scan_cols:
         scan_cols.append(stride_range[0])  # stats live on the predicate col
     pruned = stripes.filter(F.col("col_name").isin(scan_cols))
-    # same AQE-coalescing consideration as the encode side: stripe rows are
-    # byte-light but expand ~10x on decode — pin a parallel task count. One
-    # shuffle; stripes arrive contiguous after the partition-local sort.
-    # cores*1, not cores*4: same boundary-cost argument as _work_partitions
-    # (the decode kernel is ~15x cheaper than encode, so the Arrow boundary
-    # dominates even harder here).
     spark = stripes.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    pruned = (pruned.repartition(cores, "stripe_id")
-              .sortWithinPartitions("stripe_id"))
+    if getattr(stripes, "_ofs_stripe_clustered", False):
+        # ``stripes`` is the direct output of encode_dataframe: already
+        # stripe-contiguous per partition, so the re-clustering exchange
+        # below would shuffle the encoded bytes a second time for nothing.
+        # Skipping it fuses encode and decode into ONE stage (scan ->
+        # exchange -> sort -> encode kernel -> col_name filter -> decode
+        # kernel) — the filter preserves row order, so per-stripe
+        # contiguity still holds. Read-back-from-storage paths (decode_job
+        # et al.) never carry the tag and keep the safe re-shuffle.
+        pass
+    else:
+        # same AQE-coalescing consideration as the encode side: stripe rows
+        # are byte-light but expand ~10x on decode — pin a parallel task
+        # count. One shuffle; stripes arrive contiguous after the
+        # partition-local sort. cores*1, not cores*4: same boundary-cost
+        # argument as _work_partitions (the decode kernel is ~15x cheaper
+        # than encode, so the Arrow boundary dominates even harder here).
+        cores = spark.sparkContext.defaultParallelism
+        pruned = (pruned.repartition(cores, "stripe_id")
+                  .sortWithinPartitions("stripe_id"))
 
     try:  # arrow schema of the decoded output (timestamps carry session tz)
         from pyspark.sql.pandas.types import to_arrow_schema
