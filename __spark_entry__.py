@@ -490,12 +490,13 @@ def _verified_sig_dups(uni, sigs, sig_col):
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
             .select(F.col("l.doc_id").alias("id_a"),
                     F.col("r.doc_id").alias("id_b")))
+    # both joins broadcast the SAME ``uni`` subtree (no per-side aliasing),
+    # so ReuseExchange shares one broadcast build across the two sides
     return (cand
-            .join(uni.select(F.col("doc_id").alias("id_a"),
-                             F.col("text").alias("text_a")), "id_a")
-            .join(uni.select(F.col("doc_id").alias("id_b"),
-                             F.col("text").alias("text_b")), "id_b")
-            .where(F.col("text_a") == F.col("text_b"))
+            .join(uni, F.col("id_a") == uni["doc_id"])
+            .select("id_a", "id_b", F.col("text").alias("text_a"))
+            .join(uni, F.col("id_b") == uni["doc_id"])
+            .where(F.col("text_a") == F.col("text"))
             .select("id_a", "id_b"))
 
 

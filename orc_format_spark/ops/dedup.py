@@ -290,11 +290,14 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     # shingled once per query, not once per side
     from pyspark import StorageLevel
     sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    # both joins broadcast the SAME persisted ``sets`` subtree (see
+    # embedding_cosine_dups): one broadcast build, reused for both sides
     joined = (pairs.select("id_a", "id_b")
-              .join(sets.select(F.col(id_col).alias("id_a"),
-                                F.col("shingles").alias("sh_a")), "id_a")
-              .join(sets.select(F.col(id_col).alias("id_b"),
-                                F.col("shingles").alias("sh_b")), "id_b"))
+              .join(sets, F.col("id_a") == sets[id_col])
+              .select("id_a", "id_b", F.col("shingles").alias("sh_a"))
+              .join(sets, F.col("id_b") == sets[id_col])
+              .select("id_a", "id_b", "sh_a",
+                      F.col("shingles").alias("sh_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
@@ -399,11 +402,15 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str = "vec_id",
     safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
     units = emb.select(F.col(id_col), F.transform(
         vec_d, lambda x: x / safe).alias("unit"))
+    # both joins broadcast the SAME ``units`` subtree (no per-side aliasing
+    # of the build side), so Spark's ReuseExchange shares one broadcast
+    # build instead of materializing it once per side
     pairs = (pairs
-             .join(units.select(F.col(id_col).alias("id_a"),
-                                F.col("unit").alias("unit_a")), "id_a")
-             .join(units.select(F.col(id_col).alias("id_b"),
-                                F.col("unit").alias("unit_b")), "id_b"))
+             .join(units, F.col("id_a") == units[id_col])
+             .select("id_a", "id_b", F.col("unit").alias("unit_a"))
+             .join(units, F.col("id_b") == units[id_col])
+             .select("id_a", "id_b", "unit_a",
+                     F.col("unit").alias("unit_b")))
     cosine = F.aggregate(F.zip_with("unit_a", "unit_b", lambda x, y: x * y),
                          F.lit(0.0), lambda acc, x: acc + x)
     return (pairs.select("id_a", "id_b", cosine.alias("cosine"))
@@ -502,11 +509,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    # identical broadcast subtree on both verify sides => one build, reused
     verify = (cand
-              .join(sets.select(F.col(id_col).alias("id_a"),
-                                F.col("ngrams").alias("sh_a")), "id_a")
-              .join(sets.select(F.col(id_col).alias("id_b"),
-                                F.col("ngrams").alias("sh_b")), "id_b"))
+              .join(sets, F.col("id_a") == sets[id_col])
+              .select("id_a", "id_b", F.col("ngrams").alias("sh_a"))
+              .join(sets, F.col("id_b") == sets[id_col])
+              .select("id_a", "id_b", "sh_a",
+                      F.col("ngrams").alias("sh_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
