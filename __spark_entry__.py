@@ -461,9 +461,16 @@ def q_dedup_minhash(spark, sf_dir):
     band COUNT (n_hashes=64), not from shorter bands."""
     _pin(spark)
     df = _read(spark, sf_dir, "documents")
+    # ONE shingling pass feeds both the LSH bucketing (signatures) and the
+    # exact verify (shingle sets) — un-shared, each stage re-shingled the
+    # whole corpus in its own kernel
+    from pyspark import StorageLevel
+    both = dedup.minhash_signatures(df, n_hashes=64, with_shingles=True) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dedup.minhash_lsh_pairs(df, n_hashes=64, bands=16,
-                                    min_shared_bands=2)
-    verified = dedup.jaccard_verify(df, pairs, threshold=0.9)
+                                    min_shared_bands=2,
+                                    sigs=both.select("doc_id", "signature"))
+    verified = dedup.jaccard_verify(df, pairs, threshold=0.9, sets=both)
     return verified.select("id_a", "id_b")
 
 

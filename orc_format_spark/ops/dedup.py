@@ -166,10 +166,18 @@ def _minhash_params(n_hashes: int, seed: int = 42):
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 64,
-                       shingle_k: int = 5, seed: int = 42) -> DataFrame:
+                       shingle_k: int = 5, seed: int = 42,
+                       with_shingles: bool = False) -> DataFrame:
     """doc -> array<long> of n_hashes minhash values. One vectorized numpy
     pass per Arrow batch: (a*x+b) mod p over ALL docs' shingles at once,
-    per-doc minima via segmented ``minimum.reduceat``."""
+    per-doc minima via segmented ``minimum.reduceat``.
+
+    ``with_shingles=True`` additionally emits each doc's sorted unique
+    shingle-hash set from the SAME pass — a pipeline that both buckets
+    (signatures) and verifies (exact shingle Jaccard) then shingles the
+    corpus once instead of once per kernel (the values are identical to
+    :func:`shingle_sets`' by construction: both derive from
+    ``_batch_shingle_hashes``)."""
     a, b = _minhash_params(n_hashes, seed)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,10 +190,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             for i in range(n_hashes):
                 hx = (hashes * a[i] + b[i]) % np.uint64(_MERSENNE)
                 sig[:, i] = np.minimum.reduceat(hx, seg).astype(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col], "signature": list(sig)})
+            out = {id_col: pdf[id_col], "signature": list(sig)}
+            if with_shingles:
+                out["shingles"] = np.split(hashes.astype(np.int64),
+                                           runs[1:-1])
+            yield pd.DataFrame(out)
 
+    schema = f"{id_col} long, signature array<long>"
+    if with_shingles:
+        schema += ", shingles array<long>"
     return _spread(df.select(id_col, text_col)).mapInPandas(
-        compute, schema=f"{id_col} long, signature array<long>")
+        compute, schema=schema)
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text",
@@ -233,9 +248,12 @@ def lsh_dropped_buckets(df: DataFrame, text_col: str = "text",
 
 
 def _banded(df: DataFrame, text_col: str, id_col: str, n_hashes: int,
-            bands: int, shingle_k: int, seed: int) -> DataFrame:
+            bands: int, shingle_k: int, seed: int,
+            sigs: DataFrame | None = None) -> DataFrame:
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n_hashes,
+                                  shingle_k, seed)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     return (sigs.select(id_col, "signature", band_idx)
             .select(id_col, "band",
@@ -249,7 +267,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       bands: int = 16, shingle_k: int = 5,
                       seed: int = 42,
                       bucket_cap: int = DEFAULT_BUCKET_CAP,
-                      min_shared_bands: int = 1) -> DataFrame:
+                      min_shared_bands: int = 1,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH (shuffle on band buckets
     only; hot buckets capped — see lsh_dropped_buckets). Returns
     (id_a, id_b, n_shared_bands), id_a < id_b.
@@ -257,8 +276,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``min_shared_bands``: for high thresholds, requiring >=2 shared bands
     slashes coincidental single-band candidates (the dominant verify cost at
     corpus scale) while a true near-dup pair shares most bands — e.g. at
-    rows=4 a j=0.99 pair misses 2-of-8 bands with probability ~1e-9."""
-    banded = _banded(df, text_col, id_col, n_hashes, bands, shingle_k, seed)
+    rows=4 a j=0.99 pair misses 2-of-8 bands with probability ~1e-9.
+
+    ``sigs``: precomputed signature rows (id, signature) — pass the output
+    of :func:`minhash_signatures` (e.g. its ``with_shingles=True`` variant
+    shared with the verify stage) to skip the internal signature pass."""
+    banded = _banded(df, text_col, id_col, n_hashes, bands, shingle_k, seed,
+                     sigs=sigs)
     # the banded rows feed FOUR consumers (the hot-bucket count, its
     # anti-join, and both sides of the self-join); un-persisted, each one
     # re-runs the signature mapInPandas kernel over the whole corpus —
@@ -281,15 +305,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_k: int = 5,
-                   threshold: float = 0.7) -> DataFrame:
+                   threshold: float = 0.7,
+                   sets: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only. Each doc is
     shingled ONCE (shingle_sets); the set intersection itself runs JVM-side
-    (array_intersect under whole-stage codegen) — no Python in the verify."""
-    sets = shingle_sets(df, text_col, id_col, shingle_k)
-    # both verify sides join against ``sets``; persist so the corpus is
-    # shingled once per query, not once per side
-    from pyspark import StorageLevel
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    (array_intersect under whole-stage codegen) — no Python in the verify.
+
+    ``sets``: precomputed (id, shingles) rows — pass
+    ``minhash_signatures(..., with_shingles=True)`` output (persisted by
+    the caller) to share one shingling pass with the bucketing stage."""
+    if sets is None:
+        sets = shingle_sets(df, text_col, id_col, shingle_k)
+        # both verify sides join against ``sets``; persist so the corpus is
+        # shingled once per query, not once per side
+        from pyspark import StorageLevel
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sets = sets.select(id_col, "shingles")
     # both joins broadcast the SAME persisted ``sets`` subtree (see
     # embedding_cosine_dups): one broadcast build, reused for both sides
     joined = (pairs.select("id_a", "id_b")
