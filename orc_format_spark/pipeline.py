@@ -61,6 +61,65 @@ DEFAULT_STRIPE_ROWS = 65_536
 STRIPES_PER_PARTITION = 4
 
 
+_MM32 = 0xFFFFFFFF
+
+
+def _murmur3_long(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (the hash behind repartition(n, col)
+    for a LongType column), as a signed int32 — pinned against F.hash and
+    actual repartition placement by tests/test_pipeline_commit.py."""
+    def rotl(x, n):
+        return ((x << n) | (x >> (32 - n))) & _MM32
+
+    def mix_k1(k1):
+        return (rotl((k1 * 0xCC9E2D51) & _MM32, 15) * 0x1B873593) & _MM32
+
+    def mix_h1(h1, k1):
+        return (rotl(h1 ^ k1, 13) * 5 + 0xE6546B64) & _MM32
+
+    v &= 0xFFFFFFFFFFFFFFFF
+    h1 = mix_h1(seed, mix_k1(v & _MM32))
+    h1 = mix_h1(h1, mix_k1(v >> 32))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _MM32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _MM32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_probes(p: int) -> list[int]:
+    """probes[t] = smallest non-negative long that Spark's hash partitioner
+    sends to partition t of p. Lets the encode shuffle place stripe group
+    g on partition (g mod p) EXACTLY (round-robin), instead of the hash
+    assignment whose max load is ~2-3x the mean for group counts within a
+    small multiple of the core count (the bench regime: 83 groups into 32
+    partitions put up to 6 stripes on one task — a 2x kernel straggler).
+    O(p^2) driver-side hash evaluations, cached per p."""
+    probes: list[int | None] = [None] * p
+    found, m = 0, 0
+    while found < p:
+        t = _murmur3_long(m) % p
+        if t < 0:
+            t += p
+        if probes[t] is None:
+            probes[t] = m
+            found += 1
+        m += 1
+    return probes  # type: ignore[return-value]
+
+
+_probe_cache: dict[int, list[int]] = {}
+
+
+# balanced placement only below this group count: beyond it the
+# n_groups/STRIPES_PER_PARTITION floor dominates _work_partitions and the
+# per-partition group count is large enough that hash placement is already
+# balanced (law of large numbers); the probe literal array also stays tiny
+_BALANCE_MAX_GROUPS = 4096
+
+
 def _work_partitions(spark: SparkSession, n_groups: int) -> int:
     """Task count for the CPU-bound Arrow-UDF stages. Pinned explicitly
     because AQE's size-based coalescing targets ~64MB partitions and would
@@ -533,8 +592,23 @@ def encode_dataframe(df: DataFrame, key_col: str, order_col: str | None = None,
     # Arrow buffers -> numpy codec kernels directly (mapInArrow).
     spark = df.sparkSession
     p = _work_partitions(spark, n_buckets)
-    keyed = (keyed.repartition(p, "__bucket", "__salt")
-             .sortWithinPartitions("__bucket", "__salt", *sort_keys))
+    if n_buckets <= _BALANCE_MAX_GROUPS:
+        # EXACT round-robin group placement: group (bucket, salt) goes to
+        # partition (bucket + salt) mod p via a probe value chosen so
+        # Spark's hash partitioner lands it there (see _partition_probes).
+        # Deterministic (same placement every run/retry), stripe contents
+        # unchanged — only which task encodes which stripe moves.
+        probes = _probe_cache.setdefault(p, _partition_probes(p))
+        probe_col = F.element_at(
+            F.array(*[F.lit(m) for m in probes]),
+            (F.pmod(F.col("__bucket") + F.col("__salt"), F.lit(p)) + 1)
+            .cast("int")).cast("long")
+        keyed = (keyed.withColumn("__probe", probe_col)
+                 .repartition(p, "__probe")
+                 .sortWithinPartitions("__bucket", "__salt", *sort_keys))
+    else:
+        keyed = (keyed.repartition(p, "__bucket", "__salt")
+                 .sortWithinPartitions("__bucket", "__salt", *sort_keys))
     data_cols = list(kinds)
 
     def encode_partition(batches):
