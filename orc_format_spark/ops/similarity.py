@@ -526,7 +526,15 @@ def build_ivf_index(emb: DataFrame, path: str, n_lists: int = 16,
     centroids riding in ``_ann_meta``. One writer task per list => one
     well-sized file per cell directory. Returns the reloaded index."""
     spark = emb.sparkSession
-    n = emb.count()
+    # corpus size for the sample fraction from parquet FOOTERS when the
+    # input is file-backed (driver-side metadata, exact for <=64 files —
+    # no count() job); the estimate only sizes the sampling fraction, and
+    # any non-file source (createDataFrame fixtures, unions with planted
+    # rows where the estimate would undercount) keeps the exact count path
+    from orc_format_spark import pipeline as _pipeline
+    n = _pipeline._estimate_rows(emb)
+    if n is None:
+        n = emb.count()
     frac = min(1.0, 1.2 * train_rows / max(n, 1))
     samp = (emb.select(vec_col) if frac >= 1.0
             else emb.select(vec_col).sample(False, frac, seed)) \
