@@ -93,7 +93,8 @@ def _probe_buckets(query: list[float], planes: np.ndarray,
     return [qbucket] + [qbucket ^ (1 << int(i)) for i in flip_order[:n_probes]]
 
 
-def _write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
+def _write_partitioned(df: DataFrame, path: str,
+                       part_col: str) -> int | None:
     """Hive-layout partitioned parquet write (``part_col=<v>/part-N.parquet``)
     with the files written by pyarrow INSIDE the shuffle tasks instead of
     Spark's dynamic-partition writer.

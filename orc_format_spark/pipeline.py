@@ -759,23 +759,20 @@ def decode_dataframe(stripes: DataFrame, columns: list[str] | None = None,
         scan_cols.append(stride_range[0])  # stats live on the predicate col
     pruned = stripes.filter(F.col("col_name").isin(scan_cols))
     spark = stripes.sparkSession
-    if getattr(stripes, "_ofs_stripe_clustered", False):
-        # ``stripes`` is the direct output of encode_dataframe: already
-        # stripe-contiguous per partition, so the re-clustering exchange
-        # below would shuffle the encoded bytes a second time for nothing.
-        # Skipping it fuses encode and decode into ONE stage (scan ->
-        # exchange -> sort -> encode kernel -> col_name filter -> decode
-        # kernel) — the filter preserves row order, so per-stripe
-        # contiguity still holds. Read-back-from-storage paths (decode_job
-        # et al.) never carry the tag and keep the safe re-shuffle.
-        pass
-    else:
-        # same AQE-coalescing consideration as the encode side: stripe rows
-        # are byte-light but expand ~10x on decode — pin a parallel task
-        # count. One shuffle; stripes arrive contiguous after the
-        # partition-local sort. cores*1, not cores*4: same boundary-cost
-        # argument as _work_partitions (the decode kernel is ~15x cheaper
-        # than encode, so the Arrow boundary dominates even harder here).
+    # When ``stripes`` is the direct output of encode_dataframe it is
+    # already stripe-contiguous per partition (the `_ofs_stripe_clustered`
+    # tag), so the re-clustering exchange below would shuffle the encoded
+    # bytes a second time for nothing — skipping it fuses encode and
+    # decode into ONE stage (scan -> exchange -> sort -> encode kernel ->
+    # col_name filter -> decode kernel); the filter preserves row order,
+    # so per-stripe contiguity still holds. Read-back-from-storage paths
+    # (decode_job et al.) never carry the tag and keep the safe re-shuffle:
+    # same AQE-coalescing consideration as the encode side — stripe rows
+    # are byte-light but expand ~10x on decode, so a parallel task count
+    # is pinned. cores*1, not cores*4: same boundary-cost argument as
+    # _work_partitions (the decode kernel is ~15x cheaper than encode, so
+    # the Arrow boundary dominates even harder here).
+    if not getattr(stripes, "_ofs_stripe_clustered", False):
         cores = spark.sparkContext.defaultParallelism
         pruned = (pruned.repartition(cores, "stripe_id")
                   .sortWithinPartitions("stripe_id"))
